@@ -1,0 +1,273 @@
+"""Vectorized two-level BVH traversal in pure JAX.
+
+Re-design of the reference's stack-based GPU traversal
+(reference: Shaders/BVHAccel.inc.hlsl:85-369 — per-thread groupshared
+stack, TLAS->BLAS ray re-transform, front-to-back child ordering by split
+axis and ray-direction sign, <=2-triangle leaf loop, world-ray restore on
+BLAS->TLAS pop) for the TPU vector model: the whole ray batch advances in
+lock-step inside one `lax.while_loop`, every ray carries its own short
+stack as a row of an (R, S) array, and all branching is `jnp.where`
+selection. Node/vertex fetches are batched gathers.
+
+Both entry points are shape-static and jit-friendly:
+  intersect_closest — closest-hit query returning full hit info + per-ray
+                      iteration counters (the reference's AOV heatmap).
+  intersect_any     — boolean occlusion query with early termination (the
+                      whole batch exits when every ray is resolved).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import (
+    BVHNODE_MISC_COUNT_SHIFT,
+    BVHNODE_MISC_HAS_BLAS,
+    BVHNODE_MISC_SPLIT_AXIS_MASK,
+)
+from ..core.types import transform_point, transform_vector
+
+F32 = jnp.float32
+U32 = jnp.uint32
+I32 = jnp.int32
+
+_STACK_BLAS_BIT = U32(0x80000000)
+_STACK_INDEX_MASK = U32(0x7FFFFFFF)
+
+
+class HitInfo(NamedTuple):
+    t: jnp.ndarray          # (R,) f32, inf on miss
+    u: jnp.ndarray          # (R,) f32 barycentric
+    v: jnp.ndarray          # (R,) f32
+    triangle: jnp.ndarray   # (R,) i32 global triangle id
+    instance: jnp.ndarray   # (R,) i32
+    backface: jnp.ndarray   # (R,) bool
+    hit: jnp.ndarray        # (R,) bool
+    iterations: jnp.ndarray  # (R,) i32 traversal loop count
+
+
+def ray_triangle_moeller(o, d, t_min, t_max, v0, v1, v2):
+    """Batched Moeller-Trumbore (reference: RayPrimitiveIntersect.inc.hlsl:72-103).
+
+    Returns (t, u, v, backface, hit_mask); all (R,).
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    det_ok = jnp.abs(det) >= 1e-10
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    backface = det > -1e-10
+    hit = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t >= t_min) & (t < t_max))
+    return t, u, v, backface, hit
+
+
+def ray_aabb(o, inv_d, t_min, t_max, bmin, bmax):
+    """Batched slab test (reference: RayPrimitiveIntersect.inc.hlsl:106-133)."""
+    ta = (bmin - o) * inv_d
+    tb = (bmax - o) * inv_d
+    t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    return (t1 >= t0) & (t0 < t_max) & (t1 >= t_min)
+
+
+def _safe_inv(d):
+    """1/d with exact zeros nudged so 0 * inv stays finite (no 0*inf NaNs)."""
+    tiny = jnp.where(d >= 0.0, F32(1e-30), F32(-1e-30))
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
+
+
+def _gather3(arr, idx):
+    return arr[idx]
+
+
+def _axis_component(vec, axis):
+    """vec (R,3), axis (R,) in {0,1,2} -> (R,)."""
+    return jnp.take_along_axis(vec, axis[:, None].astype(I32), axis=1)[:, 0]
+
+
+def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
+              any_hit):
+    R = origin.shape[0]
+    n_nodes = scene.node_bbox_min.shape[0]
+
+    def sel(mask, new, old):
+        if new.ndim > mask.ndim:
+            mask = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+        return jnp.where(mask, new, old)
+
+    lane = jnp.arange(stack_size, dtype=I32)[None, :]  # (1, S)
+
+    class S(NamedTuple):
+        node: jnp.ndarray       # (R,) i32
+        is_blas: jnp.ndarray    # (R,) bool
+        instance: jnp.ndarray   # (R,) i32
+        stack: jnp.ndarray      # (R, S) u32
+        stack_n: jnp.ndarray    # (R,) i32
+        lo: jnp.ndarray         # (R, 3) local origin
+        ld: jnp.ndarray         # (R, 3) local direction
+        t_max: jnp.ndarray      # (R,)
+        hit_t: jnp.ndarray
+        hit_u: jnp.ndarray
+        hit_v: jnp.ndarray
+        hit_tri: jnp.ndarray    # (R,) i32
+        hit_inst: jnp.ndarray   # (R,) i32
+        hit_back: jnp.ndarray   # (R,) bool
+        occluded: jnp.ndarray   # (R,) bool (any-hit mode)
+        done: jnp.ndarray       # (R,) bool
+        iters: jnp.ndarray      # (R,) i32
+
+    init = S(
+        node=jnp.zeros(R, I32),
+        is_blas=jnp.zeros(R, bool),
+        instance=jnp.zeros(R, I32),
+        stack=jnp.zeros((R, stack_size), U32),
+        stack_n=jnp.zeros(R, I32),
+        lo=origin,
+        ld=direction,
+        t_max=jnp.broadcast_to(jnp.asarray(t_max_init, F32), (R,)),
+        hit_t=jnp.full(R, jnp.inf, F32),
+        hit_u=jnp.zeros(R, F32),
+        hit_v=jnp.zeros(R, F32),
+        hit_tri=jnp.zeros(R, I32),
+        hit_inst=jnp.zeros(R, I32),
+        hit_back=jnp.zeros(R, bool),
+        occluded=jnp.zeros(R, bool),
+        done=jnp.zeros(R, bool),
+        iters=jnp.zeros(R, I32),
+    )
+
+    def cond(s):
+        return ~jnp.all(s.done)
+
+    def body(s):
+        active = ~s.done
+        node = jnp.clip(s.node, 0, n_nodes - 1)
+        bmin = _gather3(scene.node_bbox_min, node)
+        bmax = _gather3(scene.node_bbox_max, node)
+        rop = scene.node_right_or_prim[node].astype(I32)
+        misc = scene.node_misc[node]
+
+        inv_d = _safe_inv(s.ld)
+        box_hit = ray_aabb(s.lo, inv_d, t_min, s.t_max, bmin, bmax) & active
+
+        has_blas = (misc & U32(BVHNODE_MISC_HAS_BLAS)) != 0
+        cnt = (misc >> BVHNODE_MISC_COUNT_SHIFT).astype(I32)
+        axis = (misc & U32(BVHNODE_MISC_SPLIT_AXIS_MASK)).astype(I32)
+
+        is_enter = box_hit & has_blas
+        is_interior = box_hit & ~has_blas & (cnt == 0)
+        is_leaf = box_hit & ~has_blas & (cnt > 0)
+        do_pop = active & ~is_enter & ~is_interior
+
+        # --- TLAS -> BLAS transition: re-transform the ray to local space
+        inst_new = sel(is_enter, cnt, s.instance)
+        inv_t = scene.instance_inv_transforms[jnp.clip(
+            inst_new, 0, scene.instance_inv_transforms.shape[0] - 1)]
+        lo_new = sel(is_enter, transform_point(origin, inv_t), s.lo)
+        ld_new = sel(is_enter, transform_vector(direction, inv_t), s.ld)
+        node_after_enter = sel(is_enter, rop, s.node)
+        is_blas_new = s.is_blas | is_enter
+
+        # --- interior: push far child, descend near child (front-to-back)
+        dir_neg = _axis_component(ld_new, axis) < 0.0
+        left = s.node + 1
+        push_idx = jnp.where(dir_neg, left, rop)
+        next_idx = jnp.where(dir_neg, rop, left)
+        packed = (push_idx.astype(U32) & _STACK_INDEX_MASK) | jnp.where(
+            is_blas_new, _STACK_BLAS_BIT, U32(0))
+        write = is_interior[:, None] & (lane == s.stack_n[:, None])
+        stack_new = jnp.where(write, packed[:, None], s.stack)
+        stack_n_new = s.stack_n + is_interior.astype(I32)
+        node_after_interior = sel(is_interior, next_idx, node_after_enter)
+
+        # --- leaf: up to max-prims-per-leaf triangle tests (static unroll)
+        t_max_cur = s.t_max
+        hit_t, hit_u, hit_v = s.hit_t, s.hit_u, s.hit_v
+        hit_tri, hit_inst, hit_back = s.hit_tri, s.hit_inst, s.hit_back
+        occluded = s.occluded
+        n_tris = scene.triangles.shape[0]
+        for k in range(2):  # BLAS max_prims_in_node == 2
+            prim = jnp.clip(rop + k, 0, n_tris - 1)
+            tested = is_leaf & (k < cnt)
+            tri = scene.triangles[prim].astype(I32)  # (R, 3)
+            v0 = scene.vtx_position[tri[:, 0]]
+            v1 = scene.vtx_position[tri[:, 1]]
+            v2 = scene.vtx_position[tri[:, 2]]
+            t, u, v, back, ok = ray_triangle_moeller(
+                lo_new, ld_new, t_min, t_max_cur, v0, v1, v2)
+            accept = tested & ok
+            if any_hit:
+                occluded = occluded | accept
+            else:
+                t_max_cur = sel(accept, t, t_max_cur)
+                hit_t = sel(accept, t, hit_t)
+                hit_u = sel(accept, u, hit_u)
+                hit_v = sel(accept, v, hit_v)
+                hit_tri = sel(accept, prim, hit_tri)
+                hit_inst = sel(accept, inst_new, hit_inst)
+                hit_back = sel(accept, back, hit_back)
+
+        # --- pop (misses and exhausted leaves)
+        empty = s.stack_n == 0
+        pop_ok = do_pop & ~empty
+        stack_n_after = jnp.where(pop_ok, stack_n_new - 1, stack_n_new)
+        top = jnp.take_along_axis(
+            stack_new, jnp.maximum(stack_n_after, 0)[:, None], axis=1)[:, 0]
+        pop_node = (top & _STACK_INDEX_MASK).astype(I32)
+        pop_is_blas = (top & _STACK_BLAS_BIT) != 0
+        node_final = sel(pop_ok, pop_node, node_after_interior)
+        was_blas = is_blas_new
+        is_blas_final = sel(pop_ok, pop_is_blas, is_blas_new)
+        # BLAS -> TLAS: restore the world-space ray
+        restore = pop_ok & was_blas & ~pop_is_blas
+        lo_final = sel(restore, origin, lo_new)
+        ld_final = sel(restore, direction, ld_new)
+
+        done_new = s.done | (do_pop & empty)
+        if any_hit:
+            done_new = done_new | occluded
+
+        return S(
+            node=node_final,
+            is_blas=is_blas_final,
+            instance=inst_new,
+            stack=stack_new,
+            stack_n=stack_n_after,
+            lo=lo_final,
+            ld=ld_final,
+            t_max=t_max_cur,
+            hit_t=hit_t, hit_u=hit_u, hit_v=hit_v,
+            hit_tri=hit_tri, hit_inst=hit_inst, hit_back=hit_back,
+            occluded=occluded,
+            done=done_new,
+            iters=s.iters + active.astype(I32),
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def intersect_closest(scene, origin, direction, stack_size, t_min=0.0):
+    """Closest-hit over the two-level BVH. origin/direction: (R, 3) f32."""
+    s = _traverse(scene, origin, direction, F32(t_min), jnp.inf,
+                  stack_size, any_hit=False)
+    return HitInfo(
+        t=s.hit_t, u=s.hit_u, v=s.hit_v,
+        triangle=s.hit_tri, instance=s.hit_inst, backface=s.hit_back,
+        hit=jnp.isfinite(s.hit_t), iterations=s.iters,
+    )
+
+
+def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0):
+    """Occlusion query: True where any hit exists in (t_min, t_max)."""
+    s = _traverse(scene, origin, direction, F32(t_min), t_max,
+                  stack_size, any_hit=True)
+    return s.occluded

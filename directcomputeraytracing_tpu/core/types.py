@@ -1,0 +1,158 @@
+"""Device-resident scene representation: flat SoA arrays.
+
+This is the TPU analogue of the reference's GPU scene buffers
+(reference: Source/Scene.cpp:273-608 assembles flattened vertex / triangle
+/ BVH-node / material-id / instance buffers; struct layouts in
+Shaders/Vertex.inc.hlsl, BVHNode.inc.hlsl, Material.inc.hlsl,
+LightSharedDef.inc.hlsl). Where the reference bit-puns uints into float3
+fields (e.g. SLight.position_or_triangleRange) we use separate typed
+arrays — SoA is the natural TPU layout and needs no punning.
+
+`SceneArrays` is a NamedTuple of jnp arrays, i.e. a pytree: it flows
+through `jax.jit` boundaries directly and can be replicated across a
+device mesh with a single `NamedSharding`.
+
+Transforms are stored as (4, 3) row-vector matrices: world = [p, 1] @ M,
+matching the reference's float4x3 `mul(float4(p,1), M)` convention.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class SceneArrays(NamedTuple):
+    # Geometry (all meshes concatenated; triangle indices are global)
+    vtx_position: jnp.ndarray  # (V, 3) f32
+    vtx_normal: jnp.ndarray    # (V, 3) f32
+    vtx_tangent: jnp.ndarray   # (V, 3) f32
+    vtx_texcoord: jnp.ndarray  # (V, 2) f32
+    triangles: jnp.ndarray     # (T, 3) u32 vertex indices, BVH-leaf order
+
+    # Two-level BVH: TLAS nodes first, then each BLAS (see core.constants)
+    node_bbox_min: jnp.ndarray  # (N, 3) f32
+    node_bbox_max: jnp.ndarray  # (N, 3) f32
+    node_right_or_prim: jnp.ndarray  # (N,) u32
+    node_misc: jnp.ndarray     # (N,) u32
+
+    # Instances
+    instance_transforms: jnp.ndarray      # (I, 4, 3) f32 local->world
+    instance_inv_transforms: jnp.ndarray  # (I, 4, 3) f32 world->local
+    instance_flags: jnp.ndarray           # (I,) u32
+    instance_material_overrides: jnp.ndarray  # (I,) u32
+    instance_light_indices: jnp.ndarray   # (I,) u32 (LIGHT_INDEX_INVALID if none)
+
+    # Materials (SoA; per reordered triangle id -> material id)
+    material_ids: jnp.ndarray     # (T,) u32
+    mat_albedo: jnp.ndarray       # (M, 3) f32
+    mat_ior: jnp.ndarray          # (M, 3) f32 (eta; conductor k lives in albedo)
+    mat_roughness: jnp.ndarray    # (M,) f32
+    mat_tiling: jnp.ndarray       # (M, 2) f32
+    mat_opacity: jnp.ndarray      # (M,) f32
+    mat_flags: jnp.ndarray        # (M,) u32
+    mat_albedo_tex: jnp.ndarray   # (M,) i32, -1 = none
+    mat_opacity_tex: jnp.ndarray  # (M,) i32, -1 = none
+
+    # Lights (SoA; replaces the reference's bit-punned SLight)
+    light_radiance: jnp.ndarray   # (L, 3) f32
+    light_position: jnp.ndarray   # (L, 3) f32 point position / directional dir
+    light_tri_offset: jnp.ndarray  # (L,) u32 mesh lights: first triangle
+    light_tri_count: jnp.ndarray   # (L,) u32
+    light_instance: jnp.ndarray    # (L,) u32
+    light_flags: jnp.ndarray       # (L,) u32
+
+    # Texture atlas: stacked equally-sized RGBA layers (0-layer when unused).
+    textures: jnp.ndarray          # (K, TH, TW, 4) f32
+    texture_sizes: jnp.ndarray     # (K, 2) i32 valid (h, w) per layer
+
+    # Environment map: equirectangular lat-long radiance (1x1 when unused).
+    env_texture: jnp.ndarray       # (EH, EW, 3) f32
+
+    @property
+    def num_triangles(self):
+        return self.triangles.shape[0]
+
+    @property
+    def num_lights(self):
+        return self.light_flags.shape[0]
+
+
+class CameraParams(NamedTuple):
+    """Thin-lens / pinhole camera constants (reference:
+    Shaders/RayTracingCommon.inc.hlsl:57-86 GenerateRay and the
+    SRayTracingConstants block in MegakernelPathTracing.hlsl:70-86)."""
+
+    transform: jnp.ndarray      # (4, 4) f32 row-vector camera->world
+    film_size: jnp.ndarray      # (2,) f32 meters
+    aperture_radius: jnp.ndarray  # () f32, 0 = pinhole
+    focal_distance: jnp.ndarray   # () f32
+    film_distance: jnp.ndarray    # () f32
+    blade_count: jnp.ndarray      # () i32, <=2 = circular
+    blade_vertex_pos: jnp.ndarray  # (2,) f32 unit-polygon vertex
+    aperture_base_angle: jnp.ndarray  # () f32 radians
+
+    @staticmethod
+    def create(transform=None, film_size=(0.05333, 0.03), aperture_radius=0.0,
+               focal_distance=2.0, film_distance=None, focal_length=0.05,
+               fov_x=None, blade_count=0, aperture_rotation=0.0):
+        """Build camera params with the reference's defaults
+        (Source/Scene.cpp:631-641, CalculateFilmDistance :837-842)."""
+        if transform is None:
+            transform = np.eye(4, dtype=np.float32)
+        if film_distance is None:
+            if fov_x is not None:
+                film_distance = 0.5 * film_size[0] / max(
+                    np.tan(0.5 * fov_x), 1e-4)
+            else:
+                film_distance = (focal_length * focal_distance) / (
+                    focal_length + focal_distance)
+        blade_angle = np.pi / max(int(blade_count), 1)
+        # Unit-circle polygon vertex used to sample one blade triangle
+        blade_vertex = (np.cos(blade_angle), np.sin(blade_angle))
+        return CameraParams(
+            transform=jnp.asarray(transform, jnp.float32),
+            film_size=jnp.asarray(film_size, jnp.float32),
+            aperture_radius=jnp.asarray(aperture_radius, jnp.float32),
+            focal_distance=jnp.asarray(focal_distance, jnp.float32),
+            film_distance=jnp.asarray(film_distance, jnp.float32),
+            blade_count=jnp.asarray(int(blade_count), jnp.int32),
+            blade_vertex_pos=jnp.asarray(blade_vertex, jnp.float32),
+            aperture_base_angle=jnp.asarray(aperture_rotation, jnp.float32),
+        )
+
+
+def transform_point(p, m):
+    """[p, 1] @ m for (..., 3) points and (..., 4, 3) matrices.
+
+    Handles batched matrices: p (..., 3) with m (..., 4, 3) transforms each
+    point by its own matrix (row-vector convention).
+    """
+    import jax.numpy as _jnp
+    return _jnp.squeeze(p[..., None, :] @ m[..., :3, :], -2) + m[..., 3, :]
+
+
+def transform_vector(v, m):
+    import jax.numpy as _jnp
+    return _jnp.squeeze(v[..., None, :] @ m[..., :3, :], -2)
+
+
+def transform_point44(p, m):
+    """Row-vector transform by a (4, 4) matrix, returning xyz."""
+    return p @ m[:3, :3] + m[3, :3]
+
+
+def transform_vector44(v, m):
+    return v @ m[:3, :3]
+
+
+def invert_rigid_affine43(m):
+    """Invert a (4, 3) row-vector affine transform (numpy, host side)."""
+    m = np.asarray(m, np.float64)
+    a = m[:3, :]          # 3x3 linear part (row-vector convention)
+    inv_a = np.linalg.inv(a)
+    t = -m[3, :] @ inv_a
+    out = np.zeros((4, 3), np.float32)
+    out[:3, :] = inv_a.astype(np.float32)
+    out[3, :] = t.astype(np.float32)
+    return out

@@ -1,0 +1,353 @@
+"""Host-side scene model and flattening to device SoA arrays.
+
+The TPU analogue of `CScene::LoadFromFile`'s buffer assembly (reference:
+Source/Scene.cpp:103-624): concatenate mesh vertex/index data, build one
+BLAS per mesh (reordering triangles + material ids into leaf order,
+reference: Source/Mesh.cpp:59-79), build the TLAS over instance world
+AABBs, pack materials and lights, and emit a single `SceneArrays` pytree
+plus static metadata (traversal stack bound, light count, env light index)
+that parameterize kernel compilation — the analogue of the reference's
+scene-dependent shader `#define`s (MegakernelPathTracer.cpp:270-337).
+"""
+
+from dataclasses import dataclass, field
+from typing import List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.build import build_bvh, build_two_level
+from ..core.constants import (
+    INSTANCE_FLAG_OPAQUE,
+    INSTANCE_MATERIAL_OVERRIDE_NONE,
+    LIGHT_FLAGS_DIRECTIONAL,
+    LIGHT_FLAGS_ENVIRONMENT,
+    LIGHT_FLAGS_MESH,
+    LIGHT_FLAGS_POINT,
+    LIGHT_INDEX_INVALID,
+    MATERIAL_FLAG_IS_TWOSIDED,
+    MATERIAL_FLAG_MULTISCATTERING,
+    MATERIAL_FLAG_INTERNAL_SCATTERING_SHIFT,
+    MATERIAL_TYPE_DIFFUSE,
+    INTERNAL_SCATTERING_MODE_IGNORE,
+)
+from ..core.types import SceneArrays, invert_rigid_affine43
+
+
+@dataclass
+class Mesh:
+    positions: np.ndarray             # (V, 3) f32
+    indices: np.ndarray               # (T, 3) int
+    normals: Optional[np.ndarray] = None    # (V, 3)
+    tangents: Optional[np.ndarray] = None   # (V, 3)
+    texcoords: Optional[np.ndarray] = None  # (V, 2)
+    material_ids: Optional[np.ndarray] = None  # (T,) int
+    name: str = ""
+
+    def __post_init__(self):
+        self.positions = np.asarray(self.positions, np.float32)
+        self.indices = np.asarray(self.indices, np.int64).reshape(-1, 3)
+        v = self.positions.shape[0]
+        t = self.indices.shape[0]
+        if self.normals is None:
+            self.normals = compute_vertex_normals(self.positions, self.indices)
+        if self.tangents is None:
+            self.tangents = np.zeros((v, 3), np.float32)
+        if self.texcoords is None:
+            self.texcoords = np.zeros((v, 2), np.float32)
+        if self.material_ids is None:
+            self.material_ids = np.zeros(t, np.int64)
+        self.normals = np.asarray(self.normals, np.float32)
+        self.tangents = np.asarray(self.tangents, np.float32)
+        self.texcoords = np.asarray(self.texcoords, np.float32)
+        self.material_ids = np.asarray(self.material_ids, np.int64)
+
+
+@dataclass
+class Material:
+    albedo: tuple = (0.8, 0.8, 0.8)
+    mtype: int = MATERIAL_TYPE_DIFFUSE
+    ior: tuple = (1.5, 1.5, 1.5)      # conductor: eta; k goes in `k`
+    k: Optional[tuple] = None          # conductor absorption (stored in albedo)
+    roughness: float = 1.0
+    tiling: tuple = (1.0, 1.0)
+    opacity: float = 1.0
+    two_sided: bool = False
+    multiscattering: bool = False
+    internal_scattering: int = INTERNAL_SCATTERING_MODE_IGNORE
+    albedo_texture: int = -1
+    opacity_texture: int = -1
+    roughness_texture: bool = False
+    name: str = ""
+
+    def flags(self) -> int:
+        from ..core.constants import (
+            MATERIAL_FLAG_ALBEDO_TEXTURE,
+            MATERIAL_FLAG_ROUGHNESS_TEXTURE,
+        )
+        f = int(self.mtype) & 0xF
+        if self.albedo_texture >= 0:
+            f |= MATERIAL_FLAG_ALBEDO_TEXTURE
+        if self.roughness_texture:
+            f |= MATERIAL_FLAG_ROUGHNESS_TEXTURE
+        if self.two_sided:
+            f |= MATERIAL_FLAG_IS_TWOSIDED
+        if self.multiscattering:
+            f |= MATERIAL_FLAG_MULTISCATTERING
+        f |= (int(self.internal_scattering) & 0x3) << \
+            MATERIAL_FLAG_INTERNAL_SCATTERING_SHIFT
+        return f
+
+
+@dataclass
+class Instance:
+    mesh: int
+    transform: np.ndarray = None       # (4, 3) row-vector local->world
+    material_override: int = -1
+    is_emitter: bool = False
+    radiance: tuple = (0.0, 0.0, 0.0)  # if emitter (area light)
+    name: str = ""
+
+    def __post_init__(self):
+        if self.transform is None:
+            self.transform = np.concatenate(
+                [np.eye(3, dtype=np.float32), np.zeros((1, 3), np.float32)])
+        self.transform = np.asarray(self.transform, np.float32).reshape(4, 3)
+
+
+@dataclass
+class PunctualLight:
+    """Point, directional or constant/IBL environment light."""
+    kind: str                          # 'point' | 'directional' | 'env'
+    radiance: tuple = (1.0, 1.0, 1.0)
+    position: tuple = (0.0, 0.0, 0.0)  # point: position; directional: dir
+
+
+@dataclass
+class Scene:
+    meshes: List[Mesh] = field(default_factory=list)
+    instances: List[Instance] = field(default_factory=list)
+    materials: List[Material] = field(default_factory=list)
+    lights: List[PunctualLight] = field(default_factory=list)
+    env_texture: Optional[np.ndarray] = None  # (H, W, 3) lat-long radiance
+    textures: List[np.ndarray] = field(default_factory=list)  # (h,w,4) each
+
+
+class SceneMeta(NamedTuple):
+    """Static compile-time scene facts (analogue of shader #defines)."""
+    stack_size: int
+    light_count: int
+    env_light_index: int   # LIGHT_INDEX_INVALID if none
+    has_env_texture: bool
+    any_non_opaque: bool
+
+
+def compute_vertex_normals(positions, indices):
+    """Area-weighted vertex normals. Reference winding is clockwise-front
+    (LHS): geometry normal = cross(v0v2, v0v1) (HitShader.inc.hlsl:53-55)."""
+    normals = np.zeros_like(positions)
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    fn = np.cross(v2 - v0, v1 - v0)
+    for k in range(3):
+        np.add.at(normals, indices[:, k], fn)
+    lens = np.linalg.norm(normals, axis=1, keepdims=True)
+    return (normals / np.maximum(lens, 1e-20)).astype(np.float32)
+
+
+def triangle_bounds(positions, indices):
+    v = positions[indices]          # (T, 3, 3)
+    return v.min(axis=1), v.max(axis=1)
+
+
+def flatten_scene(scene: Scene):
+    """Compile the host scene into (SceneArrays, SceneMeta)."""
+    assert scene.meshes and scene.instances, "scene needs geometry"
+    if not scene.materials:
+        scene.materials = [Material()]
+
+    # --- per-mesh BLAS, triangles reordered into leaf order
+    blas_list = []
+    mesh_tris = []
+    mesh_matids = []
+    vtx_offset = 0
+    vtx_pos, vtx_nrm, vtx_tan, vtx_uv = [], [], [], []
+    mesh_tri_offsets = np.zeros(len(scene.meshes), np.int64)
+    tri_cursor = 0
+    for m, mesh in enumerate(scene.meshes):
+        bmin, bmax = triangle_bounds(mesh.positions, mesh.indices)
+        blas = build_bvh(bmin, bmax, max_prims_in_node=2)
+        blas_list.append(blas)
+        tris = mesh.indices[blas.prim_order] + vtx_offset
+        mats = mesh.material_ids[blas.prim_order]
+        mesh_tris.append(tris)
+        mesh_matids.append(mats)
+        mesh_tri_offsets[m] = tri_cursor
+        tri_cursor += tris.shape[0]
+        vtx_offset += mesh.positions.shape[0]
+        vtx_pos.append(mesh.positions)
+        vtx_nrm.append(mesh.normals)
+        vtx_tan.append(mesh.tangents)
+        vtx_uv.append(mesh.texcoords)
+
+    triangles = np.concatenate(mesh_tris).astype(np.uint32)
+    material_ids = np.concatenate(mesh_matids).astype(np.uint32)
+
+    # --- instances & TLAS
+    inst_mesh = [inst.mesh for inst in scene.instances]
+    inst_tf = np.stack([inst.transform for inst in scene.instances])
+    two_level, _ = build_two_level(
+        blas_list, mesh_tri_offsets, inst_mesh, inst_tf)
+    inst_inv = np.stack([invert_rigid_affine43(t) for t in inst_tf])
+
+    # --- lights: punctual lights first, then one mesh light per emissive
+    # instance, then env (reference order: Scene.cpp:467-499 + XML loader)
+    lr, lp, lto, ltc, li, lf = [], [], [], [], [], []
+    inst_light = np.full(len(scene.instances), LIGHT_INDEX_INVALID, np.uint32)
+    env_light_index = LIGHT_INDEX_INVALID
+    for l in scene.lights:
+        if l.kind == "point":
+            flags = LIGHT_FLAGS_POINT
+        elif l.kind == "directional":
+            flags = LIGHT_FLAGS_DIRECTIONAL
+        elif l.kind == "env":
+            flags = LIGHT_FLAGS_ENVIRONMENT
+            env_light_index = len(lf)
+        else:
+            raise ValueError(l.kind)
+        lr.append(l.radiance)
+        lp.append(l.position)
+        lto.append(0)
+        ltc.append(0)
+        li.append(0)
+        lf.append(flags)
+    for i, inst in enumerate(scene.instances):
+        if inst.is_emitter:
+            m = inst.mesh
+            inst_light[i] = len(lf)
+            lr.append(inst.radiance)
+            lp.append((0.0, 0.0, 0.0))
+            lto.append(int(mesh_tri_offsets[m]))
+            ltc.append(int(scene.meshes[m].indices.shape[0]))
+            li.append(i)
+            lf.append(LIGHT_FLAGS_MESH)
+
+    n_lights = max(len(lf), 1)
+    light_radiance = np.zeros((n_lights, 3), np.float32)
+    light_position = np.zeros((n_lights, 3), np.float32)
+    light_tri_offset = np.zeros(n_lights, np.uint32)
+    light_tri_count = np.ones(n_lights, np.uint32)
+    light_instance = np.zeros(n_lights, np.uint32)
+    light_flags = np.zeros(n_lights, np.uint32)
+    if lf:
+        light_radiance[: len(lf)] = np.asarray(lr, np.float32)
+        light_position[: len(lf)] = np.asarray(lp, np.float32)
+        light_tri_offset[: len(lf)] = np.asarray(lto, np.uint32)
+        light_tri_count[: len(lf)] = np.maximum(np.asarray(ltc, np.uint32), 1)
+        light_instance[: len(lf)] = np.asarray(li, np.uint32)
+        light_flags[: len(lf)] = np.asarray(lf, np.uint32)
+
+    # --- materials SoA
+    M = len(scene.materials)
+    mat_albedo = np.zeros((M, 3), np.float32)
+    mat_ior = np.ones((M, 3), np.float32)
+    mat_rough = np.zeros(M, np.float32)
+    mat_tiling = np.ones((M, 2), np.float32)
+    mat_opacity = np.ones(M, np.float32)
+    mat_flags = np.zeros(M, np.uint32)
+    mat_atex = np.full(M, -1, np.int32)
+    mat_otex = np.full(M, -1, np.int32)
+    any_non_opaque = False
+    for j, mat in enumerate(scene.materials):
+        mat_albedo[j] = mat.k if mat.k is not None else mat.albedo
+        mat_ior[j] = mat.ior
+        mat_rough[j] = mat.roughness
+        mat_tiling[j] = mat.tiling
+        mat_opacity[j] = mat.opacity
+        mat_flags[j] = mat.flags()
+        mat_atex[j] = mat.albedo_texture
+        mat_otex[j] = mat.opacity_texture
+        if mat.opacity < 1.0 or mat.opacity_texture >= 0:
+            any_non_opaque = True
+
+    inst_flags = np.full(len(scene.instances), INSTANCE_FLAG_OPAQUE,
+                         np.uint32)
+    for i, inst in enumerate(scene.instances):
+        ov = inst.material_override
+        if 0 <= ov < M:
+            mo = scene.materials[ov]
+            if mo.opacity < 1.0 or mo.opacity_texture >= 0:
+                inst_flags[i] = 0
+        else:
+            mids = np.unique(material_ids[
+                mesh_tri_offsets[inst.mesh]:
+                mesh_tri_offsets[inst.mesh]
+                + scene.meshes[inst.mesh].indices.shape[0]])
+            if any(scene.materials[int(mi)].opacity < 1.0
+                   or scene.materials[int(mi)].opacity_texture >= 0
+                   for mi in mids):
+                inst_flags[i] = 0
+    inst_overrides = np.asarray(
+        [inst.material_override if inst.material_override >= 0
+         else INSTANCE_MATERIAL_OVERRIDE_NONE
+         for inst in scene.instances], np.uint32)
+
+    # --- texture atlas (stacked layers padded to common size)
+    if scene.textures:
+        th = max(t.shape[0] for t in scene.textures)
+        tw = max(t.shape[1] for t in scene.textures)
+        atlas = np.zeros((len(scene.textures), th, tw, 4), np.float32)
+        sizes = np.zeros((len(scene.textures), 2), np.int32)
+        for k, t in enumerate(scene.textures):
+            atlas[k, : t.shape[0], : t.shape[1]] = t
+            sizes[k] = (t.shape[0], t.shape[1])
+    else:
+        atlas = np.zeros((1, 1, 1, 4), np.float32)
+        sizes = np.ones((1, 2), np.int32)
+
+    env = (scene.env_texture if scene.env_texture is not None
+           else np.ones((1, 1, 3), np.float32))
+
+    arrays = SceneArrays(
+        vtx_position=jnp.asarray(np.concatenate(vtx_pos)),
+        vtx_normal=jnp.asarray(np.concatenate(vtx_nrm)),
+        vtx_tangent=jnp.asarray(np.concatenate(vtx_tan)),
+        vtx_texcoord=jnp.asarray(np.concatenate(vtx_uv)),
+        triangles=jnp.asarray(triangles),
+        node_bbox_min=jnp.asarray(two_level.bbox_min),
+        node_bbox_max=jnp.asarray(two_level.bbox_max),
+        node_right_or_prim=jnp.asarray(two_level.right_or_prim),
+        node_misc=jnp.asarray(two_level.misc),
+        instance_transforms=jnp.asarray(inst_tf),
+        instance_inv_transforms=jnp.asarray(inst_inv),
+        instance_flags=jnp.asarray(inst_flags),
+        instance_material_overrides=jnp.asarray(inst_overrides),
+        instance_light_indices=jnp.asarray(inst_light),
+        material_ids=jnp.asarray(material_ids),
+        mat_albedo=jnp.asarray(mat_albedo),
+        mat_ior=jnp.asarray(mat_ior),
+        mat_roughness=jnp.asarray(mat_rough),
+        mat_tiling=jnp.asarray(mat_tiling),
+        mat_opacity=jnp.asarray(mat_opacity),
+        mat_flags=jnp.asarray(mat_flags),
+        mat_albedo_tex=jnp.asarray(mat_atex),
+        mat_opacity_tex=jnp.asarray(mat_otex),
+        light_radiance=jnp.asarray(light_radiance),
+        light_position=jnp.asarray(light_position),
+        light_tri_offset=jnp.asarray(light_tri_offset),
+        light_tri_count=jnp.asarray(light_tri_count),
+        light_instance=jnp.asarray(light_instance),
+        light_flags=jnp.asarray(light_flags),
+        textures=jnp.asarray(atlas),
+        texture_sizes=jnp.asarray(sizes),
+        env_texture=jnp.asarray(env, jnp.float32),
+    )
+    meta = SceneMeta(
+        stack_size=int(two_level.max_stack),
+        light_count=len(lf),
+        env_light_index=int(env_light_index),
+        has_env_texture=scene.env_texture is not None,
+        any_non_opaque=any_non_opaque,
+    )
+    return arrays, meta
