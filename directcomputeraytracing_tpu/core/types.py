@@ -78,6 +78,26 @@ class SceneArrays(NamedTuple):
         return self.light_flags.shape[0]
 
 
+class Intersection(NamedTuple):
+    """Batched surface interaction record (reference:
+    Shaders/Intersection.inc.hlsl). All fields (R, ...) arrays."""
+
+    albedo: jnp.ndarray          # (R, 3) (conductor: absorption k)
+    alpha: jnp.ndarray           # (R,) GGX alpha = roughness^2
+    position: jnp.ndarray        # (R, 3) world
+    normal: jnp.ndarray          # (R, 3) shading normal, world
+    tangent: jnp.ndarray         # (R, 3) world
+    geometry_normal: jnp.ndarray  # (R, 3) world
+    ior: jnp.ndarray             # (R, 3)
+    is_two_sided: jnp.ndarray    # (R,) bool
+    backface: jnp.ndarray        # (R,) bool
+    multiscattering: jnp.ndarray  # (R,) bool
+    internal_mode: jnp.ndarray   # (R,) i32
+    material_type: jnp.ndarray   # (R,) i32
+    light_index: jnp.ndarray     # (R,) u32
+    triangle_index: jnp.ndarray  # (R,) i32
+
+
 class CameraParams(NamedTuple):
     """Thin-lens / pinhole camera constants (reference:
     Shaders/RayTracingCommon.inc.hlsl:57-86 GenerateRay and the

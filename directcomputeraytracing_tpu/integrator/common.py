@@ -1,0 +1,203 @@
+"""Shared integrator pieces: render config, self-intersection offset,
+hit shading (hit record -> full surface interaction).
+
+References: Shaders/RayTracingCommon.inc.hlsl:22-36 (Waechter-Binder
+integer-ulp ray-origin offset), Shaders/HitShader.inc.hlsl (barycentric
+interpolation with degenerate-tangent orthonormalization fallback,
+material fetch with instance override, checkerboard roughness texture),
+RayTracingCommon.inc.hlsl:88-116 (HitInfoToIntersection world transform).
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import (
+    INSTANCE_MATERIAL_OVERRIDE_NONE,
+    MATERIAL_FLAG_ALBEDO_TEXTURE,
+    MATERIAL_FLAG_INTERNAL_SCATTERING_MASK,
+    MATERIAL_FLAG_INTERNAL_SCATTERING_SHIFT,
+    MATERIAL_FLAG_IS_TWOSIDED,
+    MATERIAL_FLAG_MULTISCATTERING,
+    MATERIAL_FLAG_ROUGHNESS_TEXTURE,
+    MATERIAL_FLAG_TYPE_MASK,
+)
+from ..core.types import Intersection, transform_point, transform_vector
+
+F32 = jnp.float32
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static kernel-specialization knobs — the analogue of the reference's
+    per-scene shader #defines (MegakernelPathTracer.cpp:270-337). Hashable,
+    passed as a static jit argument; changing any field recompiles, exactly
+    like the reference's lazy shader recompile."""
+
+    width: int
+    height: int
+    max_bounce: int = 4
+    stack_size: int = 32
+    light_count: int = 0
+    env_light_index: int = -1           # -1 = none
+    has_env_texture: bool = False
+    light_visible: bool = True          # env/mesh lights visible to camera
+    use_vndf: bool = True
+    traversal_backend: str = "jax"      # 'jax' | 'pallas'
+    tile_size: int = 0                  # 0 = whole image per dispatch
+    filter_type: str = "box"            # film reconstruction filter
+    filter_radius: float = 0.5
+    any_hit: bool = False               # alpha-tested transparency
+
+    @property
+    def has_env_light(self):
+        return self.env_light_index >= 0
+
+
+def offset_ray_origin(p, n, d):
+    """Integer-ulp offset of p along the geometric normal, sign-matched to
+    the outgoing direction d (Waechter & Binder)."""
+    n = n * jnp.sign(jnp.sum(n * d, axis=-1, keepdims=True))
+    of_i = jnp.trunc(256.0 * n).astype(I32)
+    p_i_bits = jax.lax.bitcast_convert_type(p, I32) + jnp.where(
+        p < 0.0, -of_i, of_i)
+    p_i = jax.lax.bitcast_convert_type(p_i_bits, F32)
+    return jnp.where(jnp.abs(p) < (1.0 / 32.0),
+                     p + n * (1.0 / 65536.0), p_i)
+
+
+def _bary3(p0, p1, p2, u, v):
+    return p0 + (p1 - p0) * u[..., None] + (p2 - p0) * v[..., None]
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+def sample_texture_atlas(textures, texture_sizes, tex_idx, uv):
+    """Bilinear wrap sample of atlas layer tex_idx at uv. tex_idx (R,) i32
+    (callers mask out -1), uv (R, 2)."""
+    k = jnp.clip(tex_idx, 0, textures.shape[0] - 1)
+    hw = texture_sizes[k].astype(F32)  # (R, 2) = (h, w)
+    h = hw[..., 0]
+    w = hw[..., 1]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(I32)
+    y0 = jnp.floor(y).astype(I32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    hi = texture_sizes[k]
+    x0m = jnp.mod(x0, hi[..., 1])
+    x1m = jnp.mod(x0 + 1, hi[..., 1])
+    y0m = jnp.mod(y0, hi[..., 0])
+    y1m = jnp.mod(y0 + 1, hi[..., 0])
+    v00 = textures[k, y0m, x0m]
+    v01 = textures[k, y0m, x1m]
+    v10 = textures[k, y1m, x0m]
+    v11 = textures[k, y1m, x1m]
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) \
+        + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+def _checkerboard(uv):
+    return jnp.where(
+        ((uv[..., 0] * 2).astype(I32) + (uv[..., 1] * 2).astype(I32)) % 2
+        != 0, 1.0, 0.0)
+
+
+def shade_hit(scene, origin, direction, hit):
+    """HitInfo batch -> world-space Intersection batch."""
+    tri = scene.triangles[
+        jnp.clip(hit.triangle, 0, scene.triangles.shape[0] - 1)].astype(I32)
+    p0 = scene.vtx_position[tri[..., 0]]
+    p1 = scene.vtx_position[tri[..., 1]]
+    p2 = scene.vtx_position[tri[..., 2]]
+    n0 = scene.vtx_normal[tri[..., 0]]
+    n1 = scene.vtx_normal[tri[..., 1]]
+    n2 = scene.vtx_normal[tri[..., 2]]
+    t0 = scene.vtx_tangent[tri[..., 0]]
+    t1 = scene.vtx_tangent[tri[..., 1]]
+    t2 = scene.vtx_tangent[tri[..., 2]]
+    uv0 = scene.vtx_texcoord[tri[..., 0]]
+    uv1 = scene.vtx_texcoord[tri[..., 1]]
+    uv2 = scene.vtx_texcoord[tri[..., 2]]
+
+    u, v = hit.u, hit.v
+    position = _bary3(p0, p1, p2, u, v)
+    normal = _normalize(_bary3(n0, n1, n2, u, v))
+
+    # Tangent with the reference's two-stage degeneracy fallback
+    eps = 1e-6
+    tangent = _bary3(t0, t1, t2, u, v)
+    tlen = jnp.linalg.norm(tangent, axis=-1)
+    ortho = tangent - jnp.sum(tangent * normal, -1, keepdims=True) * normal
+    tangent = jnp.where((tlen >= eps)[..., None], ortho, tangent)
+    tlen = jnp.linalg.norm(tangent, axis=-1)
+    fallback = jnp.cross(
+        normal, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], F32),
+                                 normal.shape))
+    flen = jnp.linalg.norm(fallback, axis=-1)
+    fallback = jnp.where(
+        (flen >= eps)[..., None], fallback,
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], F32), normal.shape))
+    tangent = jnp.where((tlen < eps)[..., None], fallback, tangent)
+    tangent = _normalize(tangent)
+
+    geometry_normal = _normalize(jnp.cross(p2 - p0, p1 - p0))
+
+    # material (instance override wins)
+    override = scene.instance_material_overrides[hit.instance]
+    mat_id = jnp.where(
+        override != U32(INSTANCE_MATERIAL_OVERRIDE_NONE),
+        override,
+        scene.material_ids[jnp.clip(hit.triangle, 0,
+                                    scene.material_ids.shape[0] - 1)],
+    ).astype(I32)
+    mat_id = jnp.clip(mat_id, 0, scene.mat_flags.shape[0] - 1)
+
+    uv = uv0 + (uv1 - uv0) * u[..., None] + (uv2 - uv0) * v[..., None]
+    uv = uv * scene.mat_tiling[mat_id]
+
+    albedo = scene.mat_albedo[mat_id]
+    tex_idx = scene.mat_albedo_tex[mat_id]
+    tex_rgb = sample_texture_atlas(
+        scene.textures, scene.texture_sizes, tex_idx, uv)[..., :3]
+    albedo = jnp.where((tex_idx >= 0)[..., None], albedo * tex_rgb, albedo)
+
+    flags = scene.mat_flags[mat_id]
+    roughness = scene.mat_roughness[mat_id]
+    roughness = roughness * jnp.where(
+        (flags & MATERIAL_FLAG_ROUGHNESS_TEXTURE) != 0,
+        _checkerboard(uv), 1.0)
+
+    # local -> world (uniform-scale assumption, like the reference)
+    m = scene.instance_transforms[hit.instance]
+    position = transform_point(position, m)
+    normal = _normalize(transform_vector(normal, m))
+    geometry_normal = _normalize(transform_vector(geometry_normal, m))
+    tangent = _normalize(transform_vector(tangent, m))
+
+    return Intersection(
+        albedo=albedo,
+        alpha=roughness * roughness,
+        position=position,
+        normal=normal,
+        tangent=tangent,
+        geometry_normal=geometry_normal,
+        ior=scene.mat_ior[mat_id],
+        is_two_sided=(flags & MATERIAL_FLAG_IS_TWOSIDED) != 0,
+        backface=hit.backface,
+        multiscattering=(flags & MATERIAL_FLAG_MULTISCATTERING) != 0,
+        internal_mode=((flags & MATERIAL_FLAG_INTERNAL_SCATTERING_MASK)
+                       >> MATERIAL_FLAG_INTERNAL_SCATTERING_SHIFT
+                       ).astype(I32),
+        material_type=(flags & MATERIAL_FLAG_TYPE_MASK).astype(I32),
+        light_index=scene.instance_light_indices[hit.instance],
+        triangle_index=hit.triangle,
+    )

@@ -1,0 +1,186 @@
+"""Megakernel integrator: the full path loop fused into one jitted program.
+
+TPU re-design of the reference's monolithic compute kernel
+(reference: Shaders/MegakernelPathTracing.hlsl:110-209 — per-pixel RNG,
+thin-lens ray, NEE light sample + occlusion + MIS, BSDF sample +
+throughput update, implicit-light MIS on the extension hit, iterate to
+the bounce cap): one batch of pixels runs the entire loop in lock-step
+with a `lax.fori_loop` over bounces; terminated paths are masked out and
+stop consuming RNG samples (identical stream semantics to the per-thread
+early exit, which is what makes megakernel and wavefront mutual oracles).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.traverse import intersect_closest, intersect_any
+from ..bsdf.dispatch import evaluate_bsdf, evaluate_bsdf_pdf, sample_bsdf
+from ..camera.camera import generate_ray
+from ..core.constants import LIGHT_INDEX_INVALID
+from ..lights.lights import (
+    evaluate_env,
+    evaluate_light_direct,
+    sample_light_direct,
+)
+from ..rng.xoshiro import init_rng, next_sample_1d, next_sample_2d, next_sample_3d
+from ..sampling.montecarlo import power_heuristic
+from .common import RenderConfig, offset_ray_origin, shade_hit
+
+F32 = jnp.float32
+U32 = jnp.uint32
+
+
+def _sel(mask, new, old):
+    if new.ndim > mask.ndim:
+        mask = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+    return jnp.where(mask, new, old)
+
+
+def _masked_1d(rng, active):
+    rng2, u = next_sample_1d(rng)
+    return _sel(active, rng2, rng), u
+
+
+def _masked_2d(rng, active):
+    rng2, u = next_sample_2d(rng)
+    return _sel(active, rng2, rng), u
+
+
+def _mesh_light_camera_eval(scene, light_index, wo, geometry_normal):
+    """Direct camera view of a mesh light (reference Light.inc.hlsl:22-25)."""
+    idx = jnp.clip(light_index.astype(jnp.int32), 0,
+                   scene.light_radiance.shape[0] - 1)
+    rad = scene.light_radiance[idx]
+    facing = jnp.sum(wo * geometry_normal, axis=-1) > 0.0
+    return jnp.where(facing[..., None], rad, 0.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
+                   frame_seed):
+    """Trace one sample per pixel for a pixel batch.
+
+    pixel_x/pixel_y: (R,) u32. Returns (sample_position (R, 2) in-pixel
+    jitter, sample_value (R, 3) radiance).
+    """
+    rng = init_rng(pixel_x, pixel_y, frame_seed)
+    rng, pixel_sample = next_sample_2d(rng)
+    res = jnp.asarray([cfg.width, cfg.height], F32)
+    pix = jnp.stack([pixel_x, pixel_y], axis=-1).astype(F32)
+    film_sample = (pixel_sample + pix) / res
+    rng, aperture_sample = next_sample_3d(rng)
+    origin, wi = generate_ray(cam, film_sample, aperture_sample)
+
+    hit = intersect_closest(scene, origin, wi, cfg.stack_size)
+    itx = shade_hit(scene, origin, wi, hit)
+    itx = itx._replace(position=_sel(hit.hit, itx.position, origin))
+
+    l = jnp.zeros_like(origin)
+    if cfg.light_visible:
+        cam_light = hit.hit & (itx.light_index != U32(LIGHT_INDEX_INVALID))
+        l = l + _sel(cam_light,
+                     _mesh_light_camera_eval(scene, itx.light_index, -wi,
+                                             itx.geometry_normal),
+                     jnp.zeros_like(l))
+        if cfg.has_env_light:
+            l = _sel(~hit.hit,
+                     evaluate_env(scene, wi, cfg.env_light_index,
+                                  cfg.has_env_texture), l)
+
+    class Carry(NamedTuple):
+        rng: jnp.ndarray
+        l: jnp.ndarray
+        throughput: jnp.ndarray
+        wi: jnp.ndarray
+        itx: object
+        hit_t: jnp.ndarray
+        active: jnp.ndarray
+
+    def bounce(_, c):
+        active = c.active
+        itx = c.itx
+        wo = -c.wi
+
+        # ---- next-event estimation -------------------------------------
+        l_acc = c.l
+        if cfg.light_count > 0:
+            rng, u_sel = _masked_1d(c.rng, active)
+            rng, u_tri = _masked_1d(rng, active)
+            rng, u2 = _masked_2d(rng, active)
+            ls = sample_light_direct(scene, cfg.light_count,
+                                     cfg.has_env_texture, itx.position,
+                                     u_sel, u_tri, u2)
+            shadow_o = offset_ray_origin(itx.position, itx.geometry_normal,
+                                         ls.wi)
+            occluded = intersect_any(scene, shadow_o, ls.wi, ls.distance,
+                                     cfg.stack_size)
+            f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
+            f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
+            n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))
+            w = jnp.where(ls.is_delta, 1.0,
+                          power_heuristic(1, ls.pdf, 1, f_pdf))
+            contrib = (c.throughput * ls.radiance * f
+                       * (n_dot_wi * w / jnp.maximum(ls.pdf, 1e-20))[..., None])
+            ok = (active & ~occluded & (ls.pdf > 0.0)
+                  & jnp.any(ls.radiance > 0.0, axis=-1))
+            l_acc = l_acc + _sel(ok, contrib, jnp.zeros_like(contrib))
+        else:
+            rng = c.rng
+
+        # ---- BSDF sampling + extension ray -----------------------------
+        rng, u_sel_b = _masked_1d(rng, active)
+        rng, u2_b = _masked_2d(rng, active)
+        wi_new, f, f_pdf, is_delta = sample_bsdf(
+            luts, wo, u2_b, u_sel_b, itx, cfg.use_vndf)
+        dead = (jnp.all(f == 0.0, axis=-1) | (f_pdf == 0.0))
+        n_dot_wi = jnp.abs(jnp.sum(itx.normal * wi_new, axis=-1))
+        throughput = c.throughput * f * (
+            n_dot_wi / jnp.maximum(f_pdf, 1e-20))[..., None]
+        throughput = _sel(active & ~dead, throughput, c.throughput)
+
+        ext_o = offset_ray_origin(itx.position, itx.geometry_normal, wi_new)
+        alive = active & ~dead
+        hit2 = intersect_closest(scene, ext_o, wi_new, cfg.stack_size)
+        itx2 = shade_hit(scene, ext_o, wi_new, hit2)
+
+        # ---- implicit light hit (MIS) ----------------------------------
+        env_idx = U32(cfg.env_light_index if cfg.has_env_light
+                      else LIGHT_INDEX_INVALID)
+        light_idx = jnp.where(hit2.hit, itx2.light_index, env_idx)
+        rad, l_pdf = evaluate_light_direct(
+            scene, max(cfg.light_count, 1), cfg.has_env_texture, light_idx,
+            itx2.triangle_index, itx2.geometry_normal, wi_new, hit2.t)
+        w = jnp.where(is_delta, 1.0, power_heuristic(1, f_pdf, 1, l_pdf))
+        ok = alive & (l_pdf > 0.0)
+        l_acc = l_acc + _sel(ok, throughput * rad * w[..., None],
+                             jnp.zeros_like(rad))
+
+        itx_next = jax.tree.map(lambda new, old: _sel(alive, new, old),
+                                itx2, itx)
+        itx_next = itx_next._replace(
+            position=_sel(alive & hit2.hit, itx2.position, itx.position))
+        return Carry(
+            rng=rng,
+            l=l_acc,
+            throughput=throughput,
+            wi=_sel(alive, wi_new, c.wi),
+            itx=itx_next,
+            hit_t=_sel(alive, hit2.t, c.hit_t),
+            active=alive & hit2.hit,
+        )
+
+    init = Carry(rng=rng, l=l, throughput=jnp.ones_like(origin), wi=wi,
+                 itx=itx, hit_t=hit.t, active=hit.hit)
+    out = jax.lax.fori_loop(0, cfg.max_bounce + 1, bounce, init)
+    return pixel_sample, out.l
+
+
+def full_frame_pixels(cfg: RenderConfig):
+    """Raster-order pixel coordinate arrays for a whole frame."""
+    ys, xs = jnp.meshgrid(
+        jnp.arange(cfg.height, dtype=U32),
+        jnp.arange(cfg.width, dtype=U32), indexing="ij")
+    return xs.ravel(), ys.ravel()

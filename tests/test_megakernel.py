@@ -1,0 +1,51 @@
+"""End-to-end megakernel render tests on the Cornell box."""
+
+import numpy as np
+import pytest
+
+from directcomputeraytracing_tpu.integrator.renderer import Renderer
+from directcomputeraytracing_tpu.scene.presets import cornell_box
+
+
+@pytest.fixture(scope="module")
+def cornell_point_render():
+    scene, cam = cornell_box(light="point")
+    r = Renderer(scene, cam, width=64, height=64, max_bounce=2)
+    img = r.render(spp=4)
+    return img
+
+
+def test_image_finite_and_lit(cornell_point_render):
+    img = cornell_point_render
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01, "image should not be black"
+    # a majority of pixels see the box interior
+    assert (img.sum(-1) > 0).mean() > 0.5
+
+
+def test_color_bleeding_walls(cornell_point_render):
+    img = cornell_point_render
+    h, w, _ = img.shape
+    left = img[h // 2, 2:8].mean(axis=0)    # red wall region
+    right = img[h // 2, -8:-2].mean(axis=0)  # green wall region
+    assert left[0] > left[1] * 1.5, f"left wall should be red: {left}"
+    assert right[1] > right[0] * 1.5, f"right wall should be green: {right}"
+
+
+def test_deterministic_at_fixed_seed():
+    scene, cam = cornell_box(light="point")
+    imgs = []
+    for _ in range(2):
+        r = Renderer(scene, cam, width=32, height=32, max_bounce=2)
+        imgs.append(r.render(spp=2, seed_mode="fixed", fixed_seed=42))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_area_light_render():
+    scene, cam = cornell_box(light="area")
+    r = Renderer(scene, cam, width=48, height=48, max_bounce=3)
+    img = r.render(spp=4)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+    # ceiling region (top rows) should include the bright lamp
+    assert img[:10].max() > img.mean()
