@@ -1,4 +1,4 @@
-"""Vectorized two-level BVH traversal in pure JAX.
+"""Vectorized two-level BVH traversal + dense brute-force intersector.
 
 Re-design of the reference's stack-based GPU traversal
 (reference: Shaders/BVHAccel.inc.hlsl:85-369 — per-thread groupshared
@@ -7,13 +7,27 @@ axis and ray-direction sign, <=2-triangle leaf loop, world-ray restore on
 BLAS->TLAS pop) for the TPU vector model: the whole ray batch advances in
 lock-step inside one `lax.while_loop`, every ray carries its own short
 stack as a row of an (R, S) array, and all branching is `jnp.where`
-selection. Node/vertex fetches are batched gathers.
+selection.
+
+TPU memory-access design (measured on v5e, experiments/prof_traverse2.py):
+  * a row gather costs ~3 ms per 2^20 rays regardless of table size, so
+    the per-step node fetch is ONE gather from a packed (N, 8) table
+    instead of four; small tables (N<=512) switch to a one-hot matmul
+    fetch that rides the MXU at ~2.5x the gather rate;
+  * `take_along_axis` stack pops cost 17 ms/step — replaced by a one-hot
+    compare+reduce (~1 ms);
+  * triangle fetches come from a pre-flattened leaf-ordered (T, 9)
+    vertex table: one gather per leaf slot instead of four.
+
+For small scenes (<= a few thousand instanced triangles) the BVH loses to
+`intersect_brute`: a dense ray x triangle-slab sweep over pre-transformed
+world-space triangles — pure VPU math with zero gathers. `backend="auto"`
+picks it whenever the flattened scene provides the world-triangle soup.
 
 Both entry points are shape-static and jit-friendly:
   intersect_closest — closest-hit query returning full hit info + per-ray
                       iteration counters (the reference's AOV heatmap).
-  intersect_any     — boolean occlusion query with early termination (the
-                      whole batch exits when every ray is resolved).
+  intersect_any     — boolean occlusion query with early termination.
 """
 
 from typing import NamedTuple
@@ -35,6 +49,10 @@ I32 = jnp.int32
 _STACK_BLAS_BIT = U32(0x80000000)
 _STACK_INDEX_MASK = U32(0x7FFFFFFF)
 
+ONEHOT_NODE_LIMIT = 512    # one-hot fetch beats row gather below this
+ONEHOT_INST_LIMIT = 64
+BRUTE_TRI_SLAB = 128       # triangles per dense sweep step
+
 
 class HitInfo(NamedTuple):
     t: jnp.ndarray          # (R,) f32, inf on miss
@@ -50,7 +68,7 @@ class HitInfo(NamedTuple):
 def ray_triangle_moeller(o, d, t_min, t_max, v0, v1, v2):
     """Batched Moeller-Trumbore (reference: RayPrimitiveIntersect.inc.hlsl:72-103).
 
-    Returns (t, u, v, backface, hit_mask); all (R,).
+    Returns (t, u, v, backface, hit_mask).
     """
     e1 = v1 - v0
     e2 = v2 - v0
@@ -84,19 +102,28 @@ def _safe_inv(d):
     return 1.0 / jnp.where(jnp.abs(d) < 1e-30, tiny, d)
 
 
-def _gather3(arr, idx):
-    return arr[idx]
+def _fetch_rows(table, idx):
+    """One fetch of table rows by (R,) index: one-hot matmul for small
+    tables (MXU), row gather otherwise."""
+    n = table.shape[0]
+    if n <= ONEHOT_NODE_LIMIT:
+        oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+        return oh.astype(F32) @ table
+    return table[idx]
 
 
 def _axis_component(vec, axis):
-    """vec (R,3), axis (R,) in {0,1,2} -> (R,)."""
-    return jnp.take_along_axis(vec, axis[:, None].astype(I32), axis=1)[:, 0]
+    """vec (R,3), axis (R,) in {0,1,2} -> (R,) via select (no gather)."""
+    return jnp.where(axis == 0, vec[:, 0],
+                     jnp.where(axis == 1, vec[:, 1], vec[:, 2]))
 
 
 def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
               any_hit):
     R = origin.shape[0]
-    n_nodes = scene.node_bbox_min.shape[0]
+    n_nodes = scene.node_table.shape[0]
+    n_inst = scene.instance_inv_transforms.shape[0]
+    inv_flat = scene.instance_inv_transforms.reshape(n_inst, 12)
 
     def sel(mask, new, old):
         if new.ndim > mask.ndim:
@@ -150,10 +177,11 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
     def body(s):
         active = ~s.done
         node = jnp.clip(s.node, 0, n_nodes - 1)
-        bmin = _gather3(scene.node_bbox_min, node)
-        bmax = _gather3(scene.node_bbox_max, node)
-        rop = scene.node_right_or_prim[node].astype(I32)
-        misc = scene.node_misc[node]
+        row = _fetch_rows(scene.node_table, node)       # (R, 8)
+        bmin = row[:, 0:3]
+        bmax = row[:, 3:6]
+        rop = row[:, 6].astype(I32)
+        misc = row[:, 7].astype(U32)
 
         inv_d = _safe_inv(s.ld)
         box_hit = ray_aabb(s.lo, inv_d, t_min, s.t_max, bmin, bmax) & active
@@ -169,8 +197,9 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
 
         # --- TLAS -> BLAS transition: re-transform the ray to local space
         inst_new = sel(is_enter, cnt, s.instance)
-        inv_t = scene.instance_inv_transforms[jnp.clip(
-            inst_new, 0, scene.instance_inv_transforms.shape[0] - 1)]
+        inv_t = _fetch_rows(inv_flat,
+                            jnp.clip(inst_new, 0, n_inst - 1)
+                            ).reshape(-1, 4, 3)
         lo_new = sel(is_enter, transform_point(origin, inv_t), s.lo)
         ld_new = sel(is_enter, transform_vector(direction, inv_t), s.ld)
         node_after_enter = sel(is_enter, rop, s.node)
@@ -193,16 +222,14 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
         hit_t, hit_u, hit_v = s.hit_t, s.hit_u, s.hit_v
         hit_tri, hit_inst, hit_back = s.hit_tri, s.hit_inst, s.hit_back
         occluded = s.occluded
-        n_tris = scene.triangles.shape[0]
+        n_tris = scene.tri_verts.shape[0]
         for k in range(2):  # BLAS max_prims_in_node == 2
             prim = jnp.clip(rop + k, 0, n_tris - 1)
             tested = is_leaf & (k < cnt)
-            tri = scene.triangles[prim].astype(I32)  # (R, 3)
-            v0 = scene.vtx_position[tri[:, 0]]
-            v1 = scene.vtx_position[tri[:, 1]]
-            v2 = scene.vtx_position[tri[:, 2]]
+            tv = scene.tri_verts[prim]                  # (R, 9)
             t, u, v, back, ok = ray_triangle_moeller(
-                lo_new, ld_new, t_min, t_max_cur, v0, v1, v2)
+                lo_new, ld_new, t_min, t_max_cur,
+                tv[:, 0:3], tv[:, 3:6], tv[:, 6:9])
             accept = tested & ok
             if any_hit:
                 occluded = occluded | accept
@@ -215,12 +242,12 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
                 hit_inst = sel(accept, inst_new, hit_inst)
                 hit_back = sel(accept, back, hit_back)
 
-        # --- pop (misses and exhausted leaves)
+        # --- pop (misses and exhausted leaves); one-hot top read
         empty = s.stack_n == 0
         pop_ok = do_pop & ~empty
         stack_n_after = jnp.where(pop_ok, stack_n_new - 1, stack_n_new)
-        top = jnp.take_along_axis(
-            stack_new, jnp.maximum(stack_n_after, 0)[:, None], axis=1)[:, 0]
+        top_mask = lane == jnp.maximum(stack_n_after, 0)[:, None]
+        top = jnp.sum(jnp.where(top_mask, stack_new, U32(0)), axis=1)
         pop_node = (top & _STACK_INDEX_MASK).astype(I32)
         pop_is_blas = (top & _STACK_BLAS_BIT) != 0
         node_final = sel(pop_ok, pop_node, node_after_interior)
@@ -255,8 +282,91 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
     return out
 
 
-def intersect_closest(scene, origin, direction, stack_size, t_min=0.0):
-    """Closest-hit over the two-level BVH. origin/direction: (R, 3) f32."""
+# ---------------------------------------------------------------------------
+# Dense brute-force sweep (small scenes): no gathers at all
+# ---------------------------------------------------------------------------
+
+def _brute(scene, origin, direction, t_min, t_max_init, any_hit):
+    """Sweep all world-space triangles in static slabs of BRUTE_TRI_SLAB;
+    each slab is a dense (R, SLAB) Moeller-Trumbore batch on the VPU."""
+    R = origin.shape[0]
+    tris = scene.world_tris
+    meta = scene.world_tri_meta
+    B = tris.shape[0]
+    n_slabs = -(-B // BRUTE_TRI_SLAB)
+    pad = n_slabs * BRUTE_TRI_SLAB - B
+    if pad:
+        tris = jnp.pad(tris, ((0, pad), (0, 0)))        # degenerate: miss
+        meta = jnp.pad(meta, ((0, pad), (0, 0)))
+    tris = tris.reshape(n_slabs, BRUTE_TRI_SLAB, 9)
+    meta = meta.reshape(n_slabs, BRUTE_TRI_SLAB, 3)
+    valid_pad = (jnp.arange(n_slabs * BRUTE_TRI_SLAB) < B).reshape(
+        n_slabs, BRUTE_TRI_SLAB)
+
+    o = origin[:, None, :]
+    d = direction[:, None, :]
+    t_max0 = jnp.broadcast_to(jnp.asarray(t_max_init, F32), (R,))
+
+    def slab(k, st):
+        (hit_t, hit_u, hit_v, hit_tri, hit_inst, hit_back, occ, t_max) = st
+        tv = tris[k]                                   # (SLAB, 9)
+        t, u, v, back, ok = ray_triangle_moeller(
+            o, d, t_min, t_max[:, None], tv[None, :, 0:3], tv[None, :, 3:6],
+            tv[None, :, 6:9])
+        ok = ok & valid_pad[k][None, :]
+        if any_hit:
+            occ = occ | jnp.any(ok, axis=1)
+            return (hit_t, hit_u, hit_v, hit_tri, hit_inst, hit_back, occ,
+                    t_max)
+        t_masked = jnp.where(ok, t, jnp.inf)
+        j = jnp.argmin(t_masked, axis=1)               # first min: leaf order
+        jm = (jnp.arange(BRUTE_TRI_SLAB)[None, :] == j[:, None])
+
+        def pick(x):
+            return jnp.sum(jnp.where(jm, x, 0.0), axis=1)
+
+        t_best = jnp.sum(jnp.where(jm, t_masked, 0.0), axis=1)
+        better = t_best < hit_t
+
+        hit_t = jnp.where(better, t_best, hit_t)
+        hit_u = jnp.where(better, pick(u), hit_u)
+        hit_v = jnp.where(better, pick(v), hit_v)
+        m = meta[k]
+        hit_tri = jnp.where(better,
+                            pick(jnp.broadcast_to(m[None, :, 0], t.shape)
+                                 ).astype(I32), hit_tri)
+        hit_inst = jnp.where(better,
+                             pick(jnp.broadcast_to(m[None, :, 1], t.shape)
+                                  ).astype(I32), hit_inst)
+        flip = pick(jnp.broadcast_to(m[None, :, 2], t.shape)) > 0.5
+        back_new = pick(back.astype(F32)) > 0.5
+        hit_back = jnp.where(better, back_new ^ flip, hit_back)
+        t_max = jnp.minimum(t_max, hit_t)
+        return (hit_t, hit_u, hit_v, hit_tri, hit_inst, hit_back, occ, t_max)
+
+    init = (jnp.full(R, jnp.inf, F32), jnp.zeros(R, F32), jnp.zeros(R, F32),
+            jnp.zeros(R, I32), jnp.zeros(R, I32), jnp.zeros(R, bool),
+            jnp.zeros(R, bool), t_max0)
+    out = jax.lax.fori_loop(0, n_slabs, slab, init, unroll=min(n_slabs, 4))
+    return out
+
+
+def _resolve_backend(scene, backend):
+    if backend != "auto":
+        return backend
+    return "brute" if scene.world_tris.shape[0] > 1 else "jax"
+
+
+def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
+                      backend="auto"):
+    """Closest-hit over the scene. origin/direction: (R, 3) f32."""
+    backend = _resolve_backend(scene, backend)
+    if backend == "brute":
+        (t, u, v, tri, inst, back, _, _) = _brute(
+            scene, origin, direction, F32(t_min), jnp.inf, any_hit=False)
+        return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
+                       backface=back, hit=jnp.isfinite(t),
+                       iterations=jnp.zeros_like(tri))
     s = _traverse(scene, origin, direction, F32(t_min), jnp.inf,
                   stack_size, any_hit=False)
     return HitInfo(
@@ -266,8 +376,14 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0):
     )
 
 
-def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0):
+def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
+                  backend="auto"):
     """Occlusion query: True where any hit exists in (t_min, t_max)."""
+    backend = _resolve_backend(scene, backend)
+    if backend == "brute":
+        out = _brute(scene, origin, direction, F32(t_min), t_max,
+                     any_hit=True)
+        return out[6]
     s = _traverse(scene, origin, direction, F32(t_min), t_max,
                   stack_size, any_hit=True)
     return s.occluded

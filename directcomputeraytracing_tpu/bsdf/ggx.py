@@ -47,8 +47,9 @@ def sample_ggx_ndf(u2, alpha):
 
 def sample_ggx_vndf(wo, u2, alpha):
     """Heitz 2018 visible-NDF sampling (reference :45-67)."""
-    vh = jnp.stack([alpha * wo[..., 0], alpha * wo[..., 1], wo[..., 2]],
-                   axis=-1)
+    z = jnp.broadcast_to(wo[..., 2], jnp.broadcast_shapes(
+        wo[..., 2].shape, jnp.shape(alpha)))
+    vh = jnp.stack([alpha * wo[..., 0], alpha * wo[..., 1], z], axis=-1)
     vh = vh / jnp.maximum(jnp.linalg.norm(vh, axis=-1, keepdims=True), 1e-20)
     lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
     inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
@@ -129,7 +130,10 @@ def _half_vector(wi, wo, eta_o, eta_i):
     return m, reflect
 
 
-def eval_ct_bsdf(wi, wo, alpha, eta_o, eta_i):
+def eval_ct_bsdf(wi, wo, alpha, eta_o, eta_i, scale_factor=True):
+    """scale_factor=False drops the (eta_o/eta_i)^2 radiance compression on
+    refraction (the reference's REFRACTION_NO_SCALE_FACTOR define, set only
+    for the energy-LUT bake)."""
     active = (wo[..., 2] != 0.0) & (wi[..., 2] != 0.0)
     m, reflect = _half_vector(wi, wo, eta_o, eta_i)
     wi_dot_m = jnp.sum(wi * m, axis=-1)
@@ -143,10 +147,9 @@ def eval_ct_bsdf(wi, wo, alpha, eta_o, eta_i):
         4.0 * jnp.abs(wi[..., 2]) * jnp.abs(wo[..., 2]), 1e-20)
 
     sqrt_denom = eta_o * wo_dot_m + eta_i * wi_dot_m
-    # radiance scale factor (eta_o/eta_i)^2 folded in, matching the
-    # reference's default (non-REFRACTION_NO_SCALE_FACTOR) path
+    eta_num = eta_o * eta_o if scale_factor else eta_i * eta_i
     refr_v = (1.0 - f) * jnp.abs(
-        d * g * jnp.abs(wi_dot_m) * jnp.abs(wo_dot_m) * eta_o * eta_o
+        d * g * jnp.abs(wi_dot_m) * jnp.abs(wo_dot_m) * eta_num
         / jnp.maximum(jnp.abs(wi[..., 2] * wo[..., 2] * sqrt_denom
                               * sqrt_denom), 1e-20))
     # restore the sign convention of the reference (value uses the product

@@ -35,6 +35,16 @@ class SceneArrays(NamedTuple):
     node_bbox_max: jnp.ndarray  # (N, 3) f32
     node_right_or_prim: jnp.ndarray  # (N,) u32
     node_misc: jnp.ndarray     # (N,) u32
+    # Gather-friendly packed tables (one fetch per traversal step):
+    # [bbox_min(3), bbox_max(3), right_or_prim, misc] — indices stored as
+    # f32 (exact below 2^24; scenes larger than that use the split arrays)
+    node_table: jnp.ndarray    # (N, 8) f32
+    tri_verts: jnp.ndarray     # (T, 9) f32 leaf-ordered v0|v1|v2, local space
+    # Dense world-space triangle soup for the small-scene brute-force path
+    # (instanced geometry pre-transformed; placeholder (1, 9) when unused)
+    world_tris: jnp.ndarray      # (B, 9) f32
+    world_tri_meta: jnp.ndarray  # (B, 3) f32 [triangle id, instance id,
+                                 #             winding flip (det<0)]
 
     # Instances
     instance_transforms: jnp.ndarray      # (I, 4, 3) f32 local->world

@@ -74,7 +74,8 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
     rng, aperture_sample = next_sample_3d(rng)
     origin, wi = generate_ray(cam, film_sample, aperture_sample)
 
-    hit = intersect_closest(scene, origin, wi, cfg.stack_size)
+    hit = intersect_closest(scene, origin, wi, cfg.stack_size,
+                              backend=cfg.traversal_backend)
     itx = shade_hit(scene, origin, wi, hit)
     itx = itx._replace(position=_sel(hit.hit, itx.position, origin))
 
@@ -116,7 +117,8 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
             shadow_o = offset_ray_origin(itx.position, itx.geometry_normal,
                                          ls.wi)
             occluded = intersect_any(scene, shadow_o, ls.wi, ls.distance,
-                                     cfg.stack_size)
+                                     cfg.stack_size,
+                                     backend=cfg.traversal_backend)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))
@@ -143,7 +145,8 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
 
         ext_o = offset_ray_origin(itx.position, itx.geometry_normal, wi_new)
         alive = active & ~dead
-        hit2 = intersect_closest(scene, ext_o, wi_new, cfg.stack_size)
+        hit2 = intersect_closest(scene, ext_o, wi_new, cfg.stack_size,
+                                  backend=cfg.traversal_backend)
         itx2 = shade_hit(scene, ext_o, wi_new, hit2)
 
         # ---- implicit light hit (MIS) ----------------------------------

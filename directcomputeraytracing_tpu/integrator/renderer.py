@@ -3,16 +3,26 @@
 The host-side orchestration analogue of the reference's frame loop
 (reference: Source/LaunchRendererLoop.cpp:201-271 DispatchRayTracing —
 progressive accumulation with per-sample frame seeds, SPP counting,
-film reset on dirty state). Python drives one jitted sample pass per
-progressive step; everything per-sample runs on device.
+film reset on dirty state; :273-393 RenderOneFrame — sample convolution,
+scene luminance, post processing). Python drives one jitted sample pass
+per progressive step; everything per-sample runs on device.
+
+Adds what the reference lacks (SURVEY.md §5): film checkpoint/resume —
+the film accumulator + SPP counter serialize to an .npz so long renders
+restart where they left off.
 """
 
+from functools import partial
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 from ..core.constants import LIGHT_INDEX_INVALID
-from ..film.film import accumulate_box, create_film, resolve
+from ..film.film import Film, accumulate_box, create_film, resolve
+from ..film.filters import FilterParams, convolve_sample_pass
 from ..lut.textures import placeholder_luts
+from ..post.pipeline import PostParams, post_process
 from ..scene.scene import flatten_scene
 from .common import RenderConfig
 from .megakernel import full_frame_pixels, render_samples
@@ -21,9 +31,17 @@ SEED_SAMPLE_COUNT = "sample_count"   # seed = accumulated sample index
 SEED_FIXED = "fixed"                 # pinned seed (deterministic retrace)
 
 
+@partial(jax.jit, static_argnames=("fp", "height", "width"))
+def _accumulate_filtered(film, pos, values, fp: FilterParams, height, width):
+    v, w = convolve_sample_pass(pos.reshape(height, width, 2),
+                                values.reshape(height, width, 3), fp)
+    return Film(value=film.value + v, weight=film.weight + w)
+
+
 class Renderer:
     def __init__(self, scene, camera, width, height, max_bounce=4,
-                 luts=None, integrator="megakernel", **cfg_overrides):
+                 luts=None, integrator="megakernel", filter_params=None,
+                 post_params=None, **cfg_overrides):
         self.arrays, self.meta = flatten_scene(scene)
         self.camera = camera
         self.luts = luts if luts is not None else placeholder_luts()
@@ -39,8 +57,16 @@ class Renderer:
             any_hit=self.meta.any_non_opaque,
             **cfg_overrides)
         self.integrator = integrator
+        self.filter_params = filter_params or FilterParams(
+            kind=self.cfg.filter_type, radius=self.cfg.filter_radius)
+        self.post_params = post_params or PostParams()
         self.film = create_film(height, width)
         self.spp = 0
+
+    @property
+    def _box_fast_path(self):
+        return (self.filter_params.kind == "box"
+                and self.filter_params.radius <= 0.5)
 
     def reset(self):
         self.film = create_film(self.cfg.height, self.cfg.width)
@@ -50,16 +76,21 @@ class Renderer:
         """Trace one sample per pixel and accumulate into the film."""
         px, py = full_frame_pixels(self.cfg)
         if self.integrator == "megakernel":
-            _, values = render_samples(
+            pos, values = render_samples(
                 self.arrays, self.luts, self.camera, self.cfg, px, py,
                 jnp.uint32(frame_seed))
         else:
             from .wavefront import render_samples_wavefront
-            _, values = render_samples_wavefront(
+            pos, values = render_samples_wavefront(
                 self.arrays, self.luts, self.camera, self.cfg, px, py,
                 jnp.uint32(frame_seed))
-        self.film = accumulate_box(self.film, values, self.cfg.height,
-                                   self.cfg.width)
+        if self._box_fast_path:
+            self.film = accumulate_box(self.film, values, self.cfg.height,
+                                       self.cfg.width)
+        else:
+            self.film = _accumulate_filtered(
+                self.film, pos, values, self.filter_params,
+                self.cfg.height, self.cfg.width)
         self.spp += 1
 
     def render(self, spp, seed_mode=SEED_SAMPLE_COUNT, fixed_seed=0):
@@ -71,3 +102,24 @@ class Renderer:
     def image(self):
         """Resolved linear radiance (H, W, 3) numpy array."""
         return np.asarray(resolve(self.film))
+
+    def postprocessed(self):
+        """Display-ready sRGB image through the exposure/tonemap chain."""
+        pinhole = bool(np.asarray(self.camera.aperture_radius) == 0.0)
+        return np.asarray(post_process(self.film.value, self.film.weight,
+                                       self.post_params,
+                                       aperture_is_pinhole=pinhole))
+
+    # ---- checkpoint / resume (SURVEY.md §5: absent in the reference) ----
+
+    def save_checkpoint(self, path):
+        np.savez_compressed(
+            path, value=np.asarray(self.film.value),
+            weight=np.asarray(self.film.weight), spp=self.spp)
+
+    def load_checkpoint(self, path):
+        data = np.load(path)
+        assert data["value"].shape == (self.cfg.height, self.cfg.width, 3)
+        self.film = Film(value=jnp.asarray(data["value"]),
+                         weight=jnp.asarray(data["weight"]))
+        self.spp = int(data["spp"])

@@ -1,0 +1,250 @@
+"""Wavefront integrator: fixed path pool, masked stages, block-cursor refill.
+
+TPU re-design of the reference's persistent streaming path tracer
+(reference: Source/WavefrontPathTracer.cpp + Shaders/WavefrontPathTracing.hlsl
+— a 262,144-path pool in SoA buffers driven by CONTROL / NEW_PATH /
+MATERIAL / EXTENSION_RAY_CAST / SHADOW_RAY_CAST kernels, with wave-ballot
+queue compaction, ExecuteIndirect variable dispatch, and a global atomic
+block cursor handing 32-pixel blocks to idle waves).
+
+The TPU mapping (SURVEY.md §2d): queues become fixed-capacity masked
+lanes (no atomics — whole-pool masks and cumsum ranks replace ballots and
+interlocked adds); ExecuteIndirect becomes full-width masked stages;
+the block cursor becomes a scalar pixel cursor carried in the loop state;
+and one `lax.while_loop` iteration fuses the reference's per-iteration
+kernel chain (control -> new-path -> material -> extension cast -> shadow
+cast) into a single compiled step, merging primary and extension rays
+into ONE closest-hit traversal per iteration.
+
+Per-path arithmetic (RNG draw order, NEE + MIS, BSDF sampling, implicit
+light evaluation) is the megakernel's, op for op, which makes the two
+integrators mutual oracles at a fixed seed — the reference relies on the
+same property (Samples.inc.hlsl:59-70 counter seeding).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.traverse import intersect_any, intersect_closest
+from ..bsdf.dispatch import evaluate_bsdf, evaluate_bsdf_pdf, sample_bsdf
+from ..camera.camera import generate_ray
+from ..core.constants import LIGHT_INDEX_INVALID
+from ..lights.lights import (
+    evaluate_env,
+    evaluate_light_direct,
+    sample_light_direct,
+)
+from ..rng.xoshiro import init_rng, next_sample_1d, next_sample_2d, \
+    next_sample_3d
+from ..sampling.montecarlo import power_heuristic
+from .common import RenderConfig, offset_ray_origin, shade_hit
+from .megakernel import _mesh_light_camera_eval
+
+F32 = jnp.float32
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def _sel(mask, new, old):
+    if new.ndim > mask.ndim:
+        mask = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+    return jnp.where(mask, new, old)
+
+
+class PoolState(NamedTuple):
+    """SoA path-pool state (the analogue of the reference's ray / rayHit /
+    pixelPosition / rng / pathAccumulation / flags buffers,
+    WavefrontPathTracer.cpp:120-210)."""
+    rng: jnp.ndarray        # (P, 4) u32 xoshiro state
+    pixel: jnp.ndarray      # (P,) i32 pixel index into the frame batch
+    ray_o: jnp.ndarray      # (P, 3)
+    ray_d: jnp.ndarray      # (P, 3)
+    throughput: jnp.ndarray  # (P, 3)
+    li: jnp.ndarray         # (P, 3)
+    bsdf_pdf: jnp.ndarray   # (P,) pdf of the sampled BSDF dir (for MIS)
+    is_delta: jnp.ndarray   # (P,) bool delta-lobe flag
+    bounce: jnp.ndarray     # (P,) i32
+    busy: jnp.ndarray       # (P,) bool lane holds a live path
+    cursor: jnp.ndarray     # () i32 next unassigned pixel
+    # film accumulation (per-pixel)
+    out_pos: jnp.ndarray    # (R, 2) sample jitter
+    out_val: jnp.ndarray    # (R, 3) radiance
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool_size"))
+def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
+                             pixel_y, frame_seed, pool_size=None):
+    """Trace one sample per pixel; same contract as
+    megakernel.render_samples, computed through the path pool."""
+    R = pixel_x.shape[0]
+    P = pool_size if pool_size is not None else min(R, 1 << 17)
+    env_idx = U32(cfg.env_light_index if cfg.has_env_light
+                  else LIGHT_INDEX_INVALID)
+
+    rng0 = init_rng(jnp.zeros(P, U32), jnp.zeros(P, U32), frame_seed)
+
+    state = PoolState(
+        rng=rng0,
+        pixel=jnp.full(P, -1, I32),
+        ray_o=jnp.zeros((P, 3), F32),
+        ray_d=jnp.zeros((P, 3), F32),
+        throughput=jnp.ones((P, 3), F32),
+        li=jnp.zeros((P, 3), F32),
+        bsdf_pdf=jnp.zeros(P, F32),
+        is_delta=jnp.zeros(P, bool),
+        bounce=jnp.zeros(P, I32),
+        busy=jnp.zeros(P, bool),
+        cursor=jnp.asarray(0, I32),
+        out_pos=jnp.zeros((R, 2), F32),
+        out_val=jnp.zeros((R, 3), F32),
+    )
+
+    def cond(s):
+        return (s.cursor < R) | jnp.any(s.busy)
+
+    def step(s):
+        # ---- NEW_PATH: refill idle lanes from the pixel cursor ----------
+        # (reference: CONTROL's idle-wave block pull,
+        # WavefrontPathTracing.hlsl:558-602, + NEW_PATH :176-255)
+        idle = ~s.busy
+        rank = jnp.cumsum(idle.astype(I32)) - 1          # rank among idle
+        navail = jnp.maximum(R - s.cursor, 0)
+        take = idle & (rank < navail)
+        pixel_new = jnp.where(take, s.cursor + rank, s.pixel)
+        cursor_new = s.cursor + jnp.minimum(jnp.sum(idle.astype(I32)),
+                                            navail)
+        pidx = jnp.clip(pixel_new, 0, R - 1)
+        px = pixel_x[pidx]
+        py = pixel_y[pidx]
+
+        fresh_rng = init_rng(px, py, frame_seed)
+        rng = _sel(take, fresh_rng, s.rng)
+        rng, pixel_sample = _m2(rng, take)
+        res = jnp.asarray([cfg.width, cfg.height], F32)
+        pix = jnp.stack([px, py], axis=-1).astype(F32)
+        film_sample = (pixel_sample + pix) / res
+        rng, aperture_sample = _m3(rng, take)
+        cam_o, cam_d = generate_ray(cam, film_sample, aperture_sample)
+
+        ray_o = _sel(take, cam_o, s.ray_o)
+        ray_d = _sel(take, cam_d, s.ray_d)
+        throughput = _sel(take, jnp.ones_like(s.throughput), s.throughput)
+        li = _sel(take, jnp.zeros_like(s.li), s.li)
+        bounce = jnp.where(take, 0, s.bounce)
+        busy = s.busy | take
+        is_primary = take
+
+        out_pos = s.out_pos.at[jnp.where(take, pidx, R)].set(
+            pixel_sample, mode="drop")
+
+        # ---- EXTENSION_RAY_CAST: primary + extension rays together ------
+        hit = intersect_closest(scene, ray_o, ray_d, cfg.stack_size,
+                                backend=cfg.traversal_backend)
+        itx = shade_hit(scene, ray_o, ray_d, hit)
+        itx = itx._replace(position=_sel(hit.hit, itx.position, ray_o))
+
+        # ---- implicit light on the hit (MATERIAL :331-349 / camera view)
+        light_idx = jnp.where(hit.hit, itx.light_index, env_idx)
+        if cfg.light_visible:
+            # primary rays: direct camera view of lights
+            cam_light = is_primary & hit.hit \
+                & (itx.light_index != U32(LIGHT_INDEX_INVALID))
+            li = li + _sel(
+                cam_light,
+                _mesh_light_camera_eval(scene, itx.light_index, -ray_d,
+                                        itx.geometry_normal),
+                jnp.zeros_like(li))
+            if cfg.has_env_light:
+                li = _sel(is_primary & ~hit.hit,
+                          evaluate_env(scene, ray_d, cfg.env_light_index,
+                                       cfg.has_env_texture), li)
+        # secondary rays: MIS-weighted implicit light
+        sec = busy & ~is_primary
+        rad, l_pdf = evaluate_light_direct(
+            scene, max(cfg.light_count, 1), cfg.has_env_texture, light_idx,
+            itx.triangle_index, itx.geometry_normal, ray_d, hit.t)
+        w = jnp.where(s.is_delta, 1.0,
+                      power_heuristic(1, s.bsdf_pdf, 1, l_pdf))
+        ok = sec & (l_pdf > 0.0)
+        li = li + _sel(ok, throughput * rad * w[..., None],
+                       jnp.zeros_like(rad))
+
+        # ---- retire misses / bounce-capped paths ------------------------
+        alive = busy & hit.hit & (bounce <= cfg.max_bounce)
+
+        # ---- MATERIAL: NEE + BSDF sample for alive lanes ----------------
+        wo = -ray_d
+        if cfg.light_count > 0:
+            rng, u_sel = _m1(rng, alive)
+            rng, u_tri = _m1(rng, alive)
+            rng, u2 = _m2(rng, alive)
+            ls = sample_light_direct(scene, cfg.light_count,
+                                     cfg.has_env_texture, itx.position,
+                                     u_sel, u_tri, u2)
+            shadow_o = offset_ray_origin(itx.position, itx.geometry_normal,
+                                         ls.wi)
+            # ---- SHADOW_RAY_CAST ----
+            occluded = intersect_any(scene, shadow_o, ls.wi, ls.distance,
+                                     cfg.stack_size,
+                                     backend=cfg.traversal_backend)
+            f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
+            f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
+            n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))
+            w_nee = jnp.where(ls.is_delta, 1.0,
+                              power_heuristic(1, ls.pdf, 1, f_pdf))
+            contrib = (throughput * ls.radiance * f
+                       * (n_dot_wi * w_nee
+                          / jnp.maximum(ls.pdf, 1e-20))[..., None])
+            nee_ok = (alive & ~occluded & (ls.pdf > 0.0)
+                      & jnp.any(ls.radiance > 0.0, axis=-1))
+            li = li + _sel(nee_ok, contrib, jnp.zeros_like(contrib))
+
+        rng, u_sel_b = _m1(rng, alive)
+        rng, u2_b = _m2(rng, alive)
+        wi_new, f, f_pdf, is_delta = sample_bsdf(
+            luts, wo, u2_b, u_sel_b, itx, cfg.use_vndf)
+        dead = (jnp.all(f == 0.0, axis=-1) | (f_pdf == 0.0))
+        n_dot_wi = jnp.abs(jnp.sum(itx.normal * wi_new, axis=-1))
+        tp_new = throughput * f * (
+            n_dot_wi / jnp.maximum(f_pdf, 1e-20))[..., None]
+        throughput = _sel(alive & ~dead, tp_new, throughput)
+        ext_o = offset_ray_origin(itx.position, itx.geometry_normal, wi_new)
+
+        still = alive & ~dead
+        ray_o = _sel(still, ext_o, ray_o)
+        ray_d = _sel(still, wi_new, ray_d)
+        bsdf_pdf = jnp.where(still, f_pdf, s.bsdf_pdf)
+        is_delta_new = jnp.where(still, is_delta, s.is_delta)
+        bounce = jnp.where(still, bounce + 1, bounce)
+
+        # ---- CONTROL: write finished samples to the film ----------------
+        finish = busy & ~still
+        out_val = s.out_val.at[jnp.where(finish, pidx, R)].add(
+            jnp.where(finish[:, None], li, 0.0), mode="drop")
+
+        return PoolState(
+            rng=rng, pixel=pixel_new, ray_o=ray_o, ray_d=ray_d,
+            throughput=throughput, li=li, bsdf_pdf=bsdf_pdf,
+            is_delta=is_delta_new, bounce=bounce, busy=still,
+            cursor=cursor_new, out_pos=out_pos, out_val=out_val)
+
+    out = jax.lax.while_loop(cond, step, state)
+    return out.out_pos, out.out_val
+
+
+def _m1(rng, active):
+    rng2, u = next_sample_1d(rng)
+    return _sel(active, rng2, rng), u
+
+
+def _m2(rng, active):
+    rng2, u = next_sample_2d(rng)
+    return _sel(active, rng2, rng), u
+
+
+def _m3(rng, active):
+    rng2, u = next_sample_3d(rng)
+    return _sel(active, rng2, rng), u

@@ -309,8 +309,41 @@ def flatten_scene(scene: Scene):
     env = (scene.env_texture if scene.env_texture is not None
            else np.ones((1, 1, 3), np.float32))
 
+    # --- packed per-step fetch tables + small-scene world-space soup
+    all_pos = np.concatenate(vtx_pos)
+    node_table = np.concatenate(
+        [two_level.bbox_min, two_level.bbox_max,
+         two_level.right_or_prim.astype(np.float32)[:, None],
+         two_level.misc.astype(np.float32)[:, None]], axis=1)
+    tri_verts = all_pos[triangles.astype(np.int64)].reshape(-1, 9)
+
+    total_world_tris = sum(
+        scene.meshes[i.mesh].indices.shape[0] for i in scene.instances)
+    if total_world_tris <= 65536:
+        wt, wm = [], []
+        for ii, inst in enumerate(scene.instances):
+            m = inst.mesh
+            lo = int(mesh_tri_offsets[m])
+            hi = lo + scene.meshes[m].indices.shape[0]
+            v = tri_verts[lo:hi].reshape(-1, 3, 3)
+            a = inst.transform[:3]
+            t = inst.transform[3]
+            v = v @ a + t
+            wt.append(v.reshape(-1, 9).astype(np.float32))
+            flip = 1.0 if np.linalg.det(a.astype(np.float64)) < 0 else 0.0
+            meta = np.empty((hi - lo, 3), np.float32)
+            meta[:, 0] = np.arange(lo, hi, dtype=np.float32)
+            meta[:, 1] = ii
+            meta[:, 2] = flip
+            wm.append(meta)
+        world_tris = np.concatenate(wt)
+        world_tri_meta = np.concatenate(wm)
+    else:
+        world_tris = np.zeros((1, 9), np.float32)
+        world_tri_meta = np.zeros((1, 3), np.float32)
+
     arrays = SceneArrays(
-        vtx_position=jnp.asarray(np.concatenate(vtx_pos)),
+        vtx_position=jnp.asarray(all_pos),
         vtx_normal=jnp.asarray(np.concatenate(vtx_nrm)),
         vtx_tangent=jnp.asarray(np.concatenate(vtx_tan)),
         vtx_texcoord=jnp.asarray(np.concatenate(vtx_uv)),
@@ -319,6 +352,10 @@ def flatten_scene(scene: Scene):
         node_bbox_max=jnp.asarray(two_level.bbox_max),
         node_right_or_prim=jnp.asarray(two_level.right_or_prim),
         node_misc=jnp.asarray(two_level.misc),
+        node_table=jnp.asarray(node_table),
+        tri_verts=jnp.asarray(tri_verts),
+        world_tris=jnp.asarray(world_tris),
+        world_tri_meta=jnp.asarray(world_tri_meta),
         instance_transforms=jnp.asarray(inst_tf),
         instance_inv_transforms=jnp.asarray(inst_inv),
         instance_flags=jnp.asarray(inst_flags),

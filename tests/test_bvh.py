@@ -159,14 +159,15 @@ def two_instance():
     return scene, arrays, meta
 
 
-def test_closest_hit_matches_brute_force(two_instance):
+@pytest.mark.parametrize("backend", ["jax", "brute"])
+def test_closest_hit_matches_brute_force(two_instance, backend):
     scene, arrays, meta = two_instance
     rng = np.random.default_rng(7)
     R = 512
     origins, dirs = aimed_rays(rng, R)
 
     hi = intersect_closest(arrays, jnp.asarray(origins), jnp.asarray(dirs),
-                           stack_size=meta.stack_size)
+                           stack_size=meta.stack_size, backend=backend)
     bt, btri, binst = brute_force_closest(
         scene_to_np(arrays, scene), origins, dirs)
 
@@ -181,7 +182,8 @@ def test_closest_hit_matches_brute_force(two_instance):
     assert agree.mean() > 0.99
 
 
-def test_anyhit_matches_brute_force(two_instance):
+@pytest.mark.parametrize("backend", ["jax", "brute"])
+def test_anyhit_matches_brute_force(two_instance, backend):
     scene, arrays, meta = two_instance
     rng = np.random.default_rng(8)
     R = 512
@@ -189,7 +191,8 @@ def test_anyhit_matches_brute_force(two_instance):
     t_max = rng.uniform(0.5, 6.0, size=R).astype(np.float32)
 
     occ = intersect_any(arrays, jnp.asarray(origins), jnp.asarray(dirs),
-                        jnp.asarray(t_max), stack_size=meta.stack_size)
+                        jnp.asarray(t_max), stack_size=meta.stack_size,
+                        backend=backend)
     bt, _, _ = brute_force_closest(scene_to_np(arrays, scene), origins, dirs)
     want = np.isfinite(bt) & (bt < t_max)
     np.testing.assert_array_equal(np.asarray(occ), want)

@@ -1,0 +1,54 @@
+"""Wavefront vs megakernel: the reference's mutual-oracle property.
+
+Both backends derive each pixel's sample stream from the same counter
+seed (reference: Samples.inc.hlsl:59-70), so at a fixed frame seed they
+produce identical per-pixel samples. The TPU build preserves this: the
+wavefront pool executes the megakernel's per-path arithmetic op-for-op.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from directcomputeraytracing_tpu.integrator.common import RenderConfig
+from directcomputeraytracing_tpu.integrator.megakernel import (
+    full_frame_pixels, render_samples,
+)
+from directcomputeraytracing_tpu.integrator.wavefront import (
+    render_samples_wavefront,
+)
+from directcomputeraytracing_tpu.lut.textures import placeholder_luts
+from directcomputeraytracing_tpu.scene.presets import cornell_box
+from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+
+def _both(material_set, light, pool_size, seed=3, size=24):
+    scene, cam = cornell_box(light=light, material_set=material_set)
+    arrays, meta = flatten_scene(scene)
+    cfg = RenderConfig(width=size, height=size, max_bounce=3,
+                       stack_size=meta.stack_size,
+                       light_count=meta.light_count)
+    px, py = full_frame_pixels(cfg)
+    luts = placeholder_luts()
+    pos_m, val_m = render_samples(arrays, luts, cam, cfg, px, py,
+                                  jnp.uint32(seed))
+    pos_w, val_w = render_samples_wavefront(arrays, luts, cam, cfg, px, py,
+                                            jnp.uint32(seed),
+                                            pool_size=pool_size)
+    return (np.asarray(pos_m), np.asarray(val_m),
+            np.asarray(pos_w), np.asarray(val_w))
+
+
+@pytest.mark.parametrize("material_set", ["diffuse", "glossy", "dielectric"])
+def test_wavefront_matches_megakernel(material_set):
+    pos_m, val_m, pos_w, val_w = _both(material_set, "area", pool_size=None)
+    np.testing.assert_array_equal(pos_w, pos_m)
+    np.testing.assert_allclose(val_w, val_m, rtol=1e-5, atol=1e-6)
+
+
+def test_wavefront_small_pool_streams_pixels():
+    # pool smaller than the frame: the block cursor must stream every
+    # pixel through the pool (reference: g_NextBlockIndex pull loop)
+    pos_m, val_m, pos_w, val_w = _both("diffuse", "point", pool_size=128)
+    np.testing.assert_array_equal(pos_w, pos_m)
+    np.testing.assert_allclose(val_w, val_m, rtol=1e-5, atol=1e-6)
