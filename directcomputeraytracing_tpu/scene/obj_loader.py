@@ -1,0 +1,229 @@
+"""Wavefront OBJ + MTL scene ingestion.
+
+Behavioral port of the reference's OBJ pipeline
+(reference: Source/WavefrontOBJLoading.cpp — tinyobjloader parse,
+MikkTSpace tangent generation :88-153, vertex dedup keyed on
+(pos/normal/texcoord index, tangent) :155-263, RHS->LHS handedness flip
+(x = -x) + winding-order flip + texcoord V flip :431-437, MTL->material
+translation defaulting to Plastic :305-372, one mesh + identity instance
+per OBJ shape :439-456) — re-implemented in vectorized NumPy (ingestion
+is host-side/offline; the C++ path is only warranted if profiling says
+so, SURVEY.md §2).
+
+Tangents come from a vectorized UV-gradient accumulation (the standard
+Lengyel method, orthonormalized per vertex) rather than a line-for-line
+MikkTSpace port; both produce normal-consistent tangent frames for the
+anisotropy-free BSDFs this renderer ships.
+"""
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.constants import MATERIAL_TYPE_PLASTIC
+from .scene import Instance, Material, Mesh, Scene
+
+
+@dataclass
+class MtlMaterial:
+    name: str = ""
+    diffuse: tuple = (0.8, 0.8, 0.8)
+    ior: float = 1.5
+    roughness: float = 1.0
+    opacity: float = 1.0
+    map_kd: Optional[str] = None
+
+
+def parse_mtl(path) -> Dict[str, MtlMaterial]:
+    mats = {}
+    cur = None
+    if not os.path.exists(path):
+        return mats
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            k = tok[0]
+            if k == "newmtl":
+                cur = MtlMaterial(name=tok[1] if len(tok) > 1 else "")
+                mats[cur.name] = cur
+            elif cur is None:
+                continue
+            elif k == "Kd":
+                cur.diffuse = tuple(float(x) for x in tok[1:4])
+            elif k == "Ni":
+                cur.ior = float(tok[1])
+            elif k == "Ns":
+                # Blinn-Phong exponent -> GGX roughness (PBR-ish remap)
+                ns = max(float(tok[1]), 1.0)
+                cur.roughness = float(np.clip(np.sqrt(2.0 / (ns + 2.0)),
+                                              0.0, 1.0))
+            elif k == "d":
+                cur.opacity = float(tok[1])
+            elif k == "Tr":
+                cur.opacity = 1.0 - float(tok[1])
+            elif k == "map_Kd":
+                cur.map_kd = tok[-1]
+    return mats
+
+
+def _parse_index(s, n_v, n_vt, n_vn):
+    """OBJ face corner 'v/vt/vn' with negative-index support."""
+    parts = s.split("/")
+
+    def fix(tok, n):
+        if not tok:
+            return -1
+        i = int(tok)
+        return i - 1 if i > 0 else n + i
+
+    vi = fix(parts[0], n_v)
+    ti = fix(parts[1], n_vt) if len(parts) > 1 else -1
+    ni = fix(parts[2], n_vn) if len(parts) > 2 else -1
+    return vi, ti, ni
+
+
+def compute_tangents(positions, normals, texcoords, indices):
+    """Per-vertex tangents from UV gradients, orthonormalized against the
+    vertex normal (vectorized equivalent of the reference's MikkTSpace
+    pass for isotropic shading)."""
+    t_acc = np.zeros_like(positions)
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    uv0 = texcoords[indices[:, 0]]
+    uv1 = texcoords[indices[:, 1]]
+    uv2 = texcoords[indices[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    d1 = uv1 - uv0
+    d2 = uv2 - uv0
+    det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
+    safe = np.where(np.abs(det) < 1e-12, 1.0, det)
+    r = np.where(np.abs(det) < 1e-12, 0.0, 1.0 / safe)
+    tan = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * r[:, None]
+    for k in range(3):
+        np.add.at(t_acc, indices[:, k], tan)
+    # Gram-Schmidt against the normal
+    t_acc -= normals * np.sum(t_acc * normals, axis=1, keepdims=True)
+    lens = np.linalg.norm(t_acc, axis=1, keepdims=True)
+    return np.where(lens > 1e-8, t_acc / np.maximum(lens, 1e-20),
+                    0.0).astype(np.float32)
+
+
+def load_obj(path, default_material=None):
+    """Load an OBJ (+MTL) file into a Scene: one mesh + identity instance
+    per shape, materials translated to Plastic (reference default)."""
+    positions: List[List[float]] = []
+    normals: List[List[float]] = []
+    texcoords: List[List[float]] = []
+    mtl: Dict[str, MtlMaterial] = {}
+    mat_order: List[str] = []
+
+    # faces grouped into shapes on o/g statements
+    shapes = []           # list of (name, faces); face = (corners, mat_id)
+    cur_faces: List = []
+    cur_name = ""
+    cur_mat = -1
+
+    def flush():
+        nonlocal cur_faces
+        if cur_faces:
+            shapes.append((cur_name, cur_faces))
+            cur_faces = []
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            k = tok[0]
+            if k == "v":
+                positions.append([float(x) for x in tok[1:4]])
+            elif k == "vn":
+                normals.append([float(x) for x in tok[1:4]])
+            elif k == "vt":
+                texcoords.append([float(x) for x in tok[1:3]])
+            elif k == "mtllib":
+                mtl.update(parse_mtl(os.path.join(os.path.dirname(path),
+                                                  " ".join(tok[1:]))))
+            elif k == "usemtl":
+                name = tok[1] if len(tok) > 1 else ""
+                if name not in mat_order:
+                    mat_order.append(name)
+                cur_mat = mat_order.index(name)
+            elif k in ("o", "g"):
+                flush()
+                cur_name = " ".join(tok[1:])
+            elif k == "f":
+                corners = [_parse_index(s, len(positions), len(texcoords),
+                                        len(normals)) for s in tok[1:]]
+                for i in range(1, len(corners) - 1):  # fan triangulation
+                    cur_faces.append(((corners[0], corners[i],
+                                       corners[i + 1]), cur_mat))
+    flush()
+
+    pos_np = np.asarray(positions, np.float32).reshape(-1, 3)
+    nrm_np = (np.asarray(normals, np.float32).reshape(-1, 3)
+              if normals else np.zeros((0, 3), np.float32))
+    uv_np = (np.asarray(texcoords, np.float32).reshape(-1, 2)
+             if texcoords else np.zeros((0, 2), np.float32))
+    # RHS -> LHS (reference: WavefrontOBJLoading.cpp:431-437)
+    pos_np[:, 0] = -pos_np[:, 0]
+    if len(nrm_np):
+        nrm_np[:, 0] = -nrm_np[:, 0]
+    if len(uv_np):
+        uv_np[:, 1] = 1.0 - uv_np[:, 1]
+
+    # materials: translate MTL -> Plastic (reference default :317)
+    materials = []
+    if mat_order:
+        for name in mat_order:
+            m = mtl.get(name, MtlMaterial(name=name))
+            materials.append(Material(
+                albedo=m.diffuse, mtype=MATERIAL_TYPE_PLASTIC,
+                ior=(m.ior,) * 3, roughness=m.roughness,
+                opacity=m.opacity, name=name))
+    else:
+        materials.append(default_material or Material(name="default"))
+
+    meshes, instances = [], []
+    for name, faces in shapes:
+        key_to_idx: Dict = {}
+        vpos, vnrm, vuv = [], [], []
+        tris = []
+        matids = []
+        for corners, mat_id in faces:
+            # winding flip: reverse corner order (reference :433)
+            tri = []
+            for c in reversed(corners):
+                if c not in key_to_idx:
+                    key_to_idx[c] = len(vpos)
+                    vi, ti, ni = c
+                    vpos.append(pos_np[vi])
+                    vnrm.append(nrm_np[ni] if ni >= 0 else None)
+                    vuv.append(uv_np[ti] if ti >= 0
+                               else np.zeros(2, np.float32))
+                tri.append(key_to_idx[c])
+            tris.append(tri)
+            matids.append(max(mat_id, 0))
+        vpos = np.asarray(vpos, np.float32)
+        vuv = np.asarray(vuv, np.float32)
+        idx = np.asarray(tris, np.int64)
+        if any(n is None for n in vnrm):
+            vnrm = None
+        else:
+            vnrm = np.asarray(vnrm, np.float32)
+        mesh = Mesh(positions=vpos, indices=idx, normals=vnrm,
+                    texcoords=vuv,
+                    material_ids=np.asarray(matids, np.int64),
+                    name=name or os.path.basename(path))
+        mesh.tangents = compute_tangents(mesh.positions, mesh.normals,
+                                         mesh.texcoords, mesh.indices)
+        meshes.append(mesh)
+        instances.append(Instance(mesh=len(meshes) - 1, name=mesh.name))
+
+    return Scene(meshes=meshes, instances=instances, materials=materials)
