@@ -52,12 +52,28 @@ def _surface_area(bmin, bmax):
                   + d[..., 2] * d[..., 0])
 
 
-def build_bvh(prim_bbox_min, prim_bbox_max, max_prims_in_node=2):
+def build_bvh(prim_bbox_min, prim_bbox_max, max_prims_in_node=2,
+              use_native=None):
     """Build a single-level BVH over primitive AABBs.
 
     Guarantees every leaf holds <= max_prims_in_node primitives (the
     traversal kernels unroll the leaf triangle loop to this bound).
+
+    use_native: True/False forces the C++/numpy builder; None (default)
+    uses the C++ builder when it compiles on this host (disable globally
+    with DCRT_NATIVE_BVH=0). Both produce identical node arrays.
     """
+    import os as _os
+
+    if use_native is None:
+        use_native = _os.environ.get("DCRT_NATIVE_BVH", "1") != "0"
+    if use_native:
+        from ..ops.native import build_bvh_native
+
+        out = build_bvh_native(prim_bbox_min, prim_bbox_max,
+                               max_prims_in_node)
+        if out is not None:
+            return out
     prim_bbox_min = np.asarray(prim_bbox_min, np.float32)
     prim_bbox_max = np.asarray(prim_bbox_max, np.float32)
     n = prim_bbox_min.shape[0]
@@ -288,3 +304,59 @@ def build_two_level(blas_list, mesh_tri_offsets, instance_mesh,
                     max_stack=max_stack + 1),
         tlas.prim_order,
     )
+
+
+def serialize_bvh_to_xml(scene):
+    """Dump every BLAS + the TLAS as XML for offline inspection/diffing
+    (reference: -OutputBVH, Source/BVHAccel.cpp:449-523 SerializeBVHToXML
+    + Scene.cpp:233-264)."""
+    from ..scene.scene import triangle_bounds
+    import io
+
+    out = io.StringIO()
+    out.write("<BVHDump>\n")
+
+    def write_nodes(bvh, tag):
+        out.write(f"  <{tag} nodeCount=\"{bvh.num_nodes}\" "
+                  f"maxDepth=\"{bvh.max_depth}\">\n")
+        for i in range(bvh.num_nodes):
+            misc = int(bvh.misc[i])
+            count = misc >> BVHNODE_MISC_COUNT_SHIFT
+            kind = ("tlasLeaf" if misc & BVHNODE_MISC_HAS_BLAS
+                    else ("leaf" if count else "interior"))
+            bmin = bvh.bbox_min[i]
+            bmax = bvh.bbox_max[i]
+            out.write(
+                f"    <Node index=\"{i}\" kind=\"{kind}\" "
+                f"rightOrPrim=\"{int(bvh.right_or_prim[i])}\" "
+                f"misc=\"{misc}\" "
+                f"bboxMin=\"{bmin[0]:.6g} {bmin[1]:.6g} {bmin[2]:.6g}\" "
+                f"bboxMax=\"{bmax[0]:.6g} {bmax[1]:.6g} {bmax[2]:.6g}\"/>\n")
+        out.write(f"  </{tag}>\n")
+
+    blas_list = []
+    offsets = np.zeros(len(scene.meshes), np.int64)
+    cursor = 0
+    for m, mesh in enumerate(scene.meshes):
+        bmin, bmax = triangle_bounds(mesh.positions, mesh.indices)
+        blas = build_bvh(bmin, bmax, max_prims_in_node=2)
+        blas_list.append(blas)
+        offsets[m] = cursor
+        cursor += mesh.indices.shape[0]
+        write_nodes(blas, f"BLAS_{m}")
+
+    inst_mesh = [inst.mesh for inst in scene.instances]
+    inst_tf = np.stack([inst.transform for inst in scene.instances])
+    two_level, _ = build_two_level(blas_list, offsets, inst_mesh, inst_tf)
+
+    class _View:
+        bbox_min = two_level.bbox_min
+        bbox_max = two_level.bbox_max
+        right_or_prim = two_level.right_or_prim
+        misc = two_level.misc
+        num_nodes = two_level.bbox_min.shape[0]
+        max_depth = two_level.max_stack
+
+    write_nodes(_View, "CombinedTLASPlusBLAS")
+    out.write("</BVHDump>\n")
+    return out.getvalue()
