@@ -31,8 +31,9 @@ def main():
     scene, cam = cornell_box(light="area", material_set="glossy")
     arrays, meta = flatten_scene(scene)
 
-    # ---- traversal throughput: camera rays for a 1024x1024 frame --------
-    w = h = 1024
+    # ---- traversal throughput: camera rays for an 8M-ray batch ----------
+    # (large batch amortizes the fixed per-dispatch host->device latency)
+    w, h = 4096, 2048
     n = w * h
     cfg = RenderConfig(width=w, height=h, max_bounce=4,
                        stack_size=meta.stack_size,

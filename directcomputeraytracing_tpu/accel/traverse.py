@@ -354,13 +354,26 @@ def _brute(scene, origin, direction, t_min, t_max_init, any_hit):
 def _resolve_backend(scene, backend):
     if backend != "auto":
         return backend
-    return "brute" if scene.world_tris.shape[0] > 1 else "jax"
+    if scene.world_tris.shape[0] > 1:
+        # dense sweep wins for small scenes; the Pallas kernel keeps the
+        # triangle table in VMEM (TPU only — interpret mode is too slow
+        # to be the CPU default)
+        return "pallas" if jax.default_backend() == "tpu" else "brute"
+    return "jax"
 
 
 def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                       backend="auto"):
     """Closest-hit over the scene. origin/direction: (R, 3) f32."""
     backend = _resolve_backend(scene, backend)
+    if backend in ("pallas", "pallas_interpret"):
+        from .pallas_brute import brute_closest_pallas
+        t, u, v, tri, inst, back = brute_closest_pallas(
+            scene, origin, direction, t_min,
+            interpret=backend == "pallas_interpret")
+        return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
+                       backface=back, hit=jnp.isfinite(t),
+                       iterations=jnp.zeros_like(tri))
     if backend == "brute":
         (t, u, v, tri, inst, back, _, _) = _brute(
             scene, origin, direction, F32(t_min), jnp.inf, any_hit=False)
@@ -380,6 +393,10 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                   backend="auto"):
     """Occlusion query: True where any hit exists in (t_min, t_max)."""
     backend = _resolve_backend(scene, backend)
+    if backend in ("pallas", "pallas_interpret"):
+        from .pallas_brute import brute_any_pallas
+        return brute_any_pallas(scene, origin, direction, t_max, t_min,
+                                interpret=backend == "pallas_interpret")
     if backend == "brute":
         out = _brute(scene, origin, direction, F32(t_min), t_max,
                      any_hit=True)
