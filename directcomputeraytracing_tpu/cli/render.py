@@ -1,0 +1,187 @@
+"""Headless render CLI.
+
+Replaces the reference's interactive application shell (reference:
+Source/Application.cpp wWinMain + CommandLineArgs.cpp:17-64 — flags
+-ResX/-ResY/-ShaderDebug/-DebugDevice/-OutputBVH and a trailing scene
+filename; interactive ImGui editing is out of scope for a headless TPU
+renderer, SURVEY.md §2c). Scene files: .obj (+.mtl) and Mitsuba .xml.
+
+    python -m directcomputeraytracing_tpu.cli.render scene.xml \
+        --resx 1280 --resy 720 --spp 64 -o out.png
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="dcrt-render",
+        description="TPU-native Monte-Carlo path tracer "
+                    "(DirectComputeRayTracing capability rebuild)")
+    p.add_argument("scene", help=".obj or Mitsuba .xml scene file, or "
+                   "preset:cornell[-glossy|-dielectric|-point]")
+    p.add_argument("--resx", type=int, default=1280)   # reference default
+    p.add_argument("--resy", type=int, default=720)
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--max-bounce", type=int, default=None,
+                   help="override scene/integrator bounce cap")
+    p.add_argument("--integrator", choices=["megakernel", "wavefront"],
+                   default="megakernel")
+    p.add_argument("--filter", dest="filter_type", default=None,
+                   choices=["box", "triangle", "gaussian", "mitchell",
+                            "lanczos"])
+    p.add_argument("--filter-radius", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="fixed frame seed (deterministic); default: "
+                        "per-sample seeds")
+    p.add_argument("--no-post", action="store_true",
+                   help="write raw linear radiance instead of the "
+                        "exposure/tonemap chain")
+    p.add_argument("--manual-ev100", type=float, default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help=".npz film checkpoint to resume from / save to")
+    p.add_argument("--output-bvh", default=None, metavar="XML",
+                   help="dump BVH structure to XML (reference -OutputBVH)")
+    p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--luts", default=None,
+                   help="path to baked BxDF LUTs (.npz); bakes fresh "
+                        "when omitted and multiscatter materials exist")
+    return p
+
+
+def load_scene(spec):
+    """Returns (scene, camera, settings-or-None)."""
+    from ..scene.presets import cornell_box
+
+    if spec.startswith("preset:"):
+        name = spec.split(":", 1)[1]
+        kind = "area"
+        mats = "diffuse"
+        if name.endswith("-point"):
+            kind = "point"
+        if "glossy" in name:
+            mats = "glossy"
+        elif "dielectric" in name:
+            mats = "dielectric"
+        scene, cam = cornell_box(light=kind, material_set=mats)
+        return scene, cam, None
+    if spec.lower().endswith(".xml"):
+        from ..scene.xml_loader import load_mitsuba_xml
+
+        scene, settings = load_mitsuba_xml(spec)
+        return scene, settings.camera, settings
+    if spec.lower().endswith(".obj"):
+        from ..scene.obj_loader import load_obj
+        from ..core.types import CameraParams
+        import numpy as np
+
+        scene = load_obj(spec)
+        # frame the scene: look at the union AABB from -z
+        lo = np.min([m.positions.min(0) for m in scene.meshes], axis=0)
+        hi = np.max([m.positions.max(0) for m in scene.meshes], axis=0)
+        c = (lo + hi) / 2
+        ext = float(np.linalg.norm(hi - lo))
+        from ..camera.camera import look_at_transform
+
+        cam = CameraParams.create(
+            transform=look_at_transform(
+                (c[0], c[1], c[2] - 1.6 * ext), tuple(c)),
+            fov_x=np.deg2rad(45.0), focal_distance=1.6 * ext)
+        return scene, cam, None
+    raise SystemExit(f"unrecognized scene file: {spec}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    t0 = time.time()
+    scene, cam, settings = load_scene(args.scene)
+
+    width, height = args.resx, args.resy
+    max_bounce = args.max_bounce
+    filter_type = args.filter_type
+    if settings is not None:
+        if args.resx == 1280 and args.resy == 720:
+            width, height = settings.width, settings.height
+        if max_bounce is None:
+            max_bounce = max(settings.max_depth - 1, 0)
+        if filter_type is None:
+            filter_type = settings.filter_type
+    if max_bounce is None:
+        max_bounce = 4
+    if filter_type is None:
+        filter_type = "box"
+
+    from ..core.constants import (
+        MATERIAL_FLAG_MULTISCATTERING, MATERIAL_TYPE_DIFFUSE,
+    )
+    from ..film.filters import FilterParams
+    from ..integrator.renderer import Renderer, SEED_FIXED, \
+        SEED_SAMPLE_COUNT
+    from ..post.pipeline import PostParams
+    from ..utils.image import save_image
+
+    luts = None
+    if args.luts:
+        from ..lut.textures import load_luts
+
+        luts = load_luts(args.luts)
+    elif any(m.mtype != MATERIAL_TYPE_DIFFUSE for m in scene.materials):
+        from ..lut.bake import bake_luts_cached
+
+        print("baking BxDF energy LUTs (cached)...", file=sys.stderr)
+        luts = bake_luts_cached()
+
+    fp = FilterParams(kind=filter_type,
+                      radius=args.filter_radius
+                      if args.filter_radius is not None
+                      else (0.5 if filter_type == "box" else 2.0))
+    pp = PostParams(enabled=not args.no_post,
+                    auto_exposure=args.manual_ev100 is None,
+                    manual_ev100=args.manual_ev100 or 15.0)
+    r = Renderer(scene, cam, width=width, height=height,
+                 max_bounce=max_bounce, luts=luts,
+                 integrator=args.integrator, filter_params=fp,
+                 post_params=pp)
+
+    if args.output_bvh:
+        from ..accel.build import serialize_bvh_to_xml
+
+        with open(args.output_bvh, "w") as f:
+            f.write(serialize_bvh_to_xml(scene))
+        print(f"BVH dump written to {args.output_bvh}", file=sys.stderr)
+
+    if args.checkpoint:
+        import os
+
+        if os.path.exists(args.checkpoint):
+            r.load_checkpoint(args.checkpoint)
+            print(f"resumed at {r.spp} spp", file=sys.stderr)
+
+    mode = SEED_FIXED if args.seed is not None else SEED_SAMPLE_COUNT
+    todo = max(args.spp - r.spp, 0)
+    for s in range(todo):
+        r.render_sample(args.seed if args.seed is not None else r.spp)
+        if (s + 1) % 8 == 0 or s + 1 == todo:
+            print(f"  {r.spp}/{args.spp} spp "
+                  f"({time.time() - t0:.1f}s)", file=sys.stderr)
+
+    if args.checkpoint:
+        r.save_checkpoint(args.checkpoint)
+
+    if args.no_post:
+        save_image(args.output, r.image(), srgb=True)
+    else:
+        save_image(args.output, r.postprocessed(), srgb=False)
+    dt = time.time() - t0
+    print(json.dumps({"output": args.output, "spp": r.spp,
+                      "resolution": [width, height],
+                      "integrator": args.integrator,
+                      "wall_s": round(dt, 2),
+                      "spp_per_sec": round(args.spp / max(dt, 1e-9), 3)}))
+
+
+if __name__ == "__main__":
+    main()
