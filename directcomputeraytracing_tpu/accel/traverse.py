@@ -355,10 +355,14 @@ def _resolve_backend(scene, backend):
     if backend != "auto":
         return backend
     if scene.world_tris.shape[0] > 1:
-        # dense sweep wins for small scenes; the Pallas kernel keeps the
-        # triangle table in VMEM (TPU only — interpret mode is too slow
-        # to be the CPU default)
-        return "pallas" if jax.default_backend() == "tpu" else "brute"
+        # dense sweep wins for small scenes; the Pallas kernels keep the
+        # triangle tables in VMEM (TPU only — interpret mode is too slow
+        # to be the CPU default). Clustered cull-and-sweep once the scene
+        # provides the cluster tables (flatten_scene: > 2048 tris).
+        if jax.default_backend() == "tpu":
+            return ("pallas_cluster" if scene.cluster_bbox.shape[0] > 1
+                    else "pallas")
+        return "brute"
     return "jax"
 
 
@@ -366,11 +370,17 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                       backend="auto"):
     """Closest-hit over the scene. origin/direction: (R, 3) f32."""
     backend = _resolve_backend(scene, backend)
-    if backend in ("pallas", "pallas_interpret"):
-        from .pallas_brute import brute_closest_pallas
-        t, u, v, tri, inst, back = brute_closest_pallas(
-            scene, origin, direction, t_min,
-            interpret=backend == "pallas_interpret")
+    if backend in ("pallas", "pallas_interpret", "pallas_cluster",
+                   "pallas_cluster_interpret"):
+        interp = backend.endswith("interpret")
+        if backend.startswith("pallas_cluster"):
+            from .pallas_brute import clustered_closest_pallas
+            t, u, v, tri, inst, back = clustered_closest_pallas(
+                scene, origin, direction, t_min, interpret=interp)
+        else:
+            from .pallas_brute import brute_closest_pallas
+            t, u, v, tri, inst, back = brute_closest_pallas(
+                scene, origin, direction, t_min, interpret=interp)
         return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
                        backface=back, hit=jnp.isfinite(t),
                        iterations=jnp.zeros_like(tri))
@@ -393,10 +403,16 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                   backend="auto"):
     """Occlusion query: True where any hit exists in (t_min, t_max)."""
     backend = _resolve_backend(scene, backend)
-    if backend in ("pallas", "pallas_interpret"):
+    if backend in ("pallas", "pallas_interpret", "pallas_cluster",
+                   "pallas_cluster_interpret"):
+        interp = backend.endswith("interpret")
+        if backend.startswith("pallas_cluster"):
+            from .pallas_brute import clustered_any_pallas
+            return clustered_any_pallas(scene, origin, direction, t_max,
+                                        t_min, interpret=interp)
         from .pallas_brute import brute_any_pallas
         return brute_any_pallas(scene, origin, direction, t_max, t_min,
-                                interpret=backend == "pallas_interpret")
+                                interpret=interp)
     if backend == "brute":
         out = _brute(scene, origin, direction, F32(t_min), t_max,
                      any_hit=True)

@@ -49,6 +49,15 @@ def build_parser():
     p.add_argument("--luts", default=None,
                    help="path to baked BxDF LUTs (.npz); bakes fresh "
                         "when omitted and multiscatter materials exist")
+    p.add_argument("--env", default=None, metavar="IMAGE",
+                   help="attach an IBL environment light from a lat-long "
+                        "radiance map (npy/npz/png/dds)")
+    p.add_argument("--env-scale", type=float, default=1.0)
+    p.add_argument("--aov", default=None,
+                   choices=["normal", "tangent", "albedo",
+                            "negative_ndotv", "backface",
+                            "iteration_count"],
+                   help="render a debug AOV instead of the beauty pass")
     return p
 
 
@@ -114,12 +123,20 @@ def main(argv=None):
     if filter_type is None:
         filter_type = "box"
 
+    if args.env:
+        from ..scene.scene import PunctualLight
+        from ..utils.image import load_env_map
+
+        env_img = load_env_map(args.env)
+        scene.env_texture = env_img
+        scene.lights.append(PunctualLight(
+            kind="env", radiance=(args.env_scale,) * 3))
+
     from ..core.constants import (
         MATERIAL_FLAG_MULTISCATTERING, MATERIAL_TYPE_DIFFUSE,
     )
     from ..film.filters import FilterParams
-    from ..integrator.renderer import Renderer, SEED_FIXED, \
-        SEED_SAMPLE_COUNT
+    from ..integrator.renderer import Renderer
     from ..post.pipeline import PostParams
     from ..utils.image import save_image
 
@@ -160,7 +177,25 @@ def main(argv=None):
             r.load_checkpoint(args.checkpoint)
             print(f"resumed at {r.spp} spp", file=sys.stderr)
 
-    mode = SEED_FIXED if args.seed is not None else SEED_SAMPLE_COUNT
+    if args.aov:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..integrator.aov import render_aov
+        from ..integrator.megakernel import full_frame_pixels
+
+        px, py = full_frame_pixels(r.cfg)
+        v = np.asarray(render_aov(r.arrays, r.camera, r.cfg, px, py,
+                                  jnp.uint32(args.seed or 0),
+                                  kind=args.aov))
+        img = v.reshape(height, width, 3)
+        if args.aov == "iteration_count":
+            img = img / max(img.max(), 1.0)
+        save_image(args.output, img, srgb=True)
+        print(json.dumps({"output": args.output, "aov": args.aov,
+                          "resolution": [width, height]}))
+        return
+
     todo = max(args.spp - r.spp, 0)
     for s in range(todo):
         r.render_sample(args.seed if args.seed is not None else r.spp)

@@ -45,6 +45,10 @@ class SceneArrays(NamedTuple):
     world_tris: jnp.ndarray      # (B, 9) f32
     world_tri_meta: jnp.ndarray  # (B, 3) f32 [triangle id, instance id,
                                  #             winding flip (det<0)]
+    # Clustered layout for the cull-and-sweep kernel (mid-size scenes):
+    # fixed 64-triangle slabs + per-cluster AABBs ((64,12)/(1,8) when unused)
+    cluster_tris: jnp.ndarray    # (C*64, 12) f32
+    cluster_bbox: jnp.ndarray    # (C, 8) f32 bmin|bmax|pad
 
     # Instances
     instance_transforms: jnp.ndarray      # (I, 4, 3) f32 local->world

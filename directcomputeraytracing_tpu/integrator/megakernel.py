@@ -74,9 +74,11 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
     rng, aperture_sample = next_sample_3d(rng)
     origin, wi = generate_ray(cam, film_sample, aperture_sample)
 
-    hit = intersect_closest(scene, origin, wi, cfg.stack_size,
-                              backend=cfg.traversal_backend)
-    itx = shade_hit(scene, origin, wi, hit)
+    with jax.named_scope("primary_raycast"):
+        hit = intersect_closest(scene, origin, wi, cfg.stack_size,
+                                backend=cfg.traversal_backend)
+    with jax.named_scope("shade_hit"):
+        itx = shade_hit(scene, origin, wi, hit)
     itx = itx._replace(position=_sel(hit.hit, itx.position, origin))
 
     l = jnp.zeros_like(origin)
@@ -116,9 +118,10 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
                                      u_sel, u_tri, u2)
             shadow_o = offset_ray_origin(itx.position, itx.geometry_normal,
                                          ls.wi)
-            occluded = intersect_any(scene, shadow_o, ls.wi, ls.distance,
-                                     cfg.stack_size,
-                                     backend=cfg.traversal_backend)
+            with jax.named_scope("shadow_raycast"):
+                occluded = intersect_any(scene, shadow_o, ls.wi,
+                                         ls.distance, cfg.stack_size,
+                                         backend=cfg.traversal_backend)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))
@@ -145,9 +148,11 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
 
         ext_o = offset_ray_origin(itx.position, itx.geometry_normal, wi_new)
         alive = active & ~dead
-        hit2 = intersect_closest(scene, ext_o, wi_new, cfg.stack_size,
-                                  backend=cfg.traversal_backend)
-        itx2 = shade_hit(scene, ext_o, wi_new, hit2)
+        with jax.named_scope("extension_raycast"):
+            hit2 = intersect_closest(scene, ext_o, wi_new, cfg.stack_size,
+                                     backend=cfg.traversal_backend)
+        with jax.named_scope("shade_hit"):
+            itx2 = shade_hit(scene, ext_o, wi_new, hit2)
 
         # ---- implicit light hit (MIS) ----------------------------------
         env_idx = U32(cfg.env_light_index if cfg.has_env_light
@@ -181,9 +186,61 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
     return pixel_sample, out.l
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def render_samples_accumulated(scene, luts, cam, cfg: RenderConfig,
+                               pixel_x, pixel_y, base_seed, n_samples):
+    """n_samples progressive passes fused into ONE dispatch, summing the
+    radiance (box-filter accumulation). Amortizes the fixed host->device
+    dispatch latency that dominates small frames (the reference instead
+    amortizes via its 2-frames-in-flight pipelining,
+    D3D12Adapter.cpp:414-448)."""
+
+    def body(k, acc):
+        _, v = render_samples(scene, luts, cam, cfg, pixel_x, pixel_y,
+                              base_seed + k.astype(U32))
+        return acc + v
+
+    total = jax.lax.fori_loop(
+        0, n_samples, body,
+        jnp.zeros((pixel_x.shape[0], 3), F32))
+    return total
+
+
 def full_frame_pixels(cfg: RenderConfig):
     """Raster-order pixel coordinate arrays for a whole frame."""
     ys, xs = jnp.meshgrid(
         jnp.arange(cfg.height, dtype=U32),
         jnp.arange(cfg.width, dtype=U32), indexing="ij")
     return xs.ravel(), ys.ravel()
+
+
+def tiled_frame_pixels(cfg: RenderConfig, tile_h=8, tile_w=128):
+    """Tile-major pixel ordering + inverse permutation to raster order.
+
+    Feeding the intersectors 8x128-pixel tiles instead of image rows gives
+    every 1024-ray kernel block a compact frustum, which is what lets the
+    clustered cull-and-sweep kernel skip most clusters per block (the
+    reference gets the same locality from its 16x8 thread groups and
+    512^2 dispatch tiles, MegakernelPathTracer.cpp:19-20,131-157).
+
+    Returns (px, py, inv) with values[inv] mapping tile-order results back
+    to raster order.
+    """
+    import numpy as np
+
+    h, w = cfg.height, cfg.width
+    order = np.empty(h * w, np.int64)
+    pos = 0
+    for ty in range(0, h, tile_h):
+        for tx in range(0, w, tile_w):
+            ys = np.arange(ty, min(ty + tile_h, h))
+            xs = np.arange(tx, min(tx + tile_w, w))
+            yy, xx = np.meshgrid(ys, xs, indexing="ij")
+            idx = (yy * w + xx).ravel()
+            order[pos: pos + idx.size] = idx
+            pos += idx.size
+    inv = np.empty_like(order)
+    inv[order] = np.arange(h * w)
+    px = jnp.asarray((order % w).astype(np.uint32))
+    py = jnp.asarray((order // w).astype(np.uint32))
+    return px, py, jnp.asarray(inv)

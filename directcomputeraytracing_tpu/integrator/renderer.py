@@ -62,6 +62,17 @@ class Renderer:
         self.post_params = post_params or PostParams()
         self.film = create_film(height, width)
         self.spp = 0
+        # On TPU, trace rays in 8x128 pixel tiles: compact per-block
+        # frustums let the clustered kernel skip most clusters. One
+        # inverse-permutation gather per sample pass restores raster
+        # order for the film.
+        if jax.default_backend() == "tpu":
+            from .megakernel import tiled_frame_pixels
+
+            self._px, self._py, self._inv = tiled_frame_pixels(self.cfg)
+        else:
+            self._px, self._py = full_frame_pixels(self.cfg)
+            self._inv = None
 
     @property
     def _box_fast_path(self):
@@ -74,7 +85,7 @@ class Renderer:
 
     def render_sample(self, frame_seed):
         """Trace one sample per pixel and accumulate into the film."""
-        px, py = full_frame_pixels(self.cfg)
+        px, py = self._px, self._py
         if self.integrator == "megakernel":
             pos, values = render_samples(
                 self.arrays, self.luts, self.camera, self.cfg, px, py,
@@ -84,6 +95,9 @@ class Renderer:
             pos, values = render_samples_wavefront(
                 self.arrays, self.luts, self.camera, self.cfg, px, py,
                 jnp.uint32(frame_seed))
+        if self._inv is not None:
+            pos = pos[self._inv]
+            values = values[self._inv]
         if self._box_fast_path:
             self.film = accumulate_box(self.film, values, self.cfg.height,
                                        self.cfg.width)
@@ -93,10 +107,35 @@ class Renderer:
                 self.cfg.height, self.cfg.width)
         self.spp += 1
 
-    def render(self, spp, seed_mode=SEED_SAMPLE_COUNT, fixed_seed=0):
-        for s in range(spp):
-            seed = fixed_seed if seed_mode == SEED_FIXED else self.spp
-            self.render_sample(seed)
+    def render(self, spp, seed_mode=SEED_SAMPLE_COUNT, fixed_seed=0,
+               samples_per_dispatch=None):
+        """Accumulate spp samples. With the box fast path and progressive
+        seeds, megakernel sample passes fuse into multi-spp dispatches
+        (samples_per_dispatch, default min(spp, 8)) to amortize dispatch
+        latency; other configs fall back to one pass per sample."""
+        fuse = (samples_per_dispatch if samples_per_dispatch is not None
+                else min(spp, 8))
+        can_fuse = (self._box_fast_path and seed_mode == SEED_SAMPLE_COUNT
+                    and self.integrator == "megakernel" and fuse > 1)
+        remaining = spp
+        while remaining > 0:
+            if can_fuse and remaining >= fuse:
+                from .megakernel import render_samples_accumulated
+
+                total = render_samples_accumulated(
+                    self.arrays, self.luts, self.camera, self.cfg,
+                    self._px, self._py, jnp.uint32(self.spp), fuse)
+                if self._inv is not None:
+                    total = total[self._inv]
+                v = total.reshape(self.cfg.height, self.cfg.width, 3)
+                self.film = Film(value=self.film.value + v,
+                                 weight=self.film.weight + float(fuse))
+                self.spp += fuse
+                remaining -= fuse
+            else:
+                seed = fixed_seed if seed_mode == SEED_FIXED else self.spp
+                self.render_sample(seed)
+                remaining -= 1
         return self.image()
 
     def image(self):

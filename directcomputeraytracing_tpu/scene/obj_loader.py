@@ -178,15 +178,45 @@ def load_obj(path, default_material=None):
     if len(uv_np):
         uv_np[:, 1] = 1.0 - uv_np[:, 1]
 
-    # materials: translate MTL -> Plastic (reference default :317)
+    # materials: translate MTL -> Plastic (reference default :317);
+    # map_Kd images decode sRGB->linear into the texture atlas (the
+    # reference's WIC R8G8B8A8_sRGB load, Source/Texture.cpp:87-162) and
+    # multiply the Kd albedo at shading time (HitShader.inc.hlsl:62-68)
     materials = []
+    textures = []
+    tex_cache: Dict[str, int] = {}
+
+    def load_texture(fname):
+        if fname in tex_cache:
+            return tex_cache[fname]
+        fpath = os.path.join(os.path.dirname(path), fname)
+        try:
+            from ..utils.image import load_image
+
+            img = load_image(fpath)
+        except Exception:
+            tex_cache[fname] = -1
+            return -1
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=2)
+        rgba = np.ones(img.shape[:2] + (4,), np.float32)
+        rgb = img[..., :3]
+        rgba[..., :3] = np.where(rgb <= 0.04045, rgb / 12.92,
+                                 ((rgb + 0.055) / 1.055) ** 2.4)
+        if img.shape[2] == 4:
+            rgba[..., 3] = img[..., 3]
+        textures.append(rgba)
+        tex_cache[fname] = len(textures) - 1
+        return tex_cache[fname]
+
     if mat_order:
         for name in mat_order:
             m = mtl.get(name, MtlMaterial(name=name))
+            tex = load_texture(m.map_kd) if m.map_kd else -1
             materials.append(Material(
                 albedo=m.diffuse, mtype=MATERIAL_TYPE_PLASTIC,
                 ior=(m.ior,) * 3, roughness=m.roughness,
-                opacity=m.opacity, name=name))
+                opacity=m.opacity, albedo_texture=tex, name=name))
     else:
         materials.append(default_material or Material(name="default"))
 
@@ -226,4 +256,5 @@ def load_obj(path, default_material=None):
         meshes.append(mesh)
         instances.append(Instance(mesh=len(meshes) - 1, name=mesh.name))
 
-    return Scene(meshes=meshes, instances=instances, materials=materials)
+    return Scene(meshes=meshes, instances=instances, materials=materials,
+                 textures=textures)

@@ -319,7 +319,7 @@ def flatten_scene(scene: Scene):
 
     total_world_tris = sum(
         scene.meshes[i.mesh].indices.shape[0] for i in scene.instances)
-    if total_world_tris <= 65536:
+    if total_world_tris <= 131072:
         wt, wm = [], []
         for ii, inst in enumerate(scene.instances):
             m = inst.mesh
@@ -342,6 +342,17 @@ def flatten_scene(scene: Scene):
         world_tris = np.zeros((1, 9), np.float32)
         world_tri_meta = np.zeros((1, 3), np.float32)
 
+    # clustered layout for the cull-and-sweep kernel: worth its indirection
+    # once the flat sweep would visit thousands of triangles per ray
+    if 2048 < world_tris.shape[0]:
+        from ..accel.cluster import build_clusters
+
+        cluster_tris, cluster_bbox = build_clusters(world_tris,
+                                                    world_tri_meta)
+    else:
+        cluster_tris = np.zeros((64, 12), np.float32)
+        cluster_bbox = np.zeros((1, 8), np.float32)
+
     arrays = SceneArrays(
         vtx_position=jnp.asarray(all_pos),
         vtx_normal=jnp.asarray(np.concatenate(vtx_nrm)),
@@ -356,6 +367,8 @@ def flatten_scene(scene: Scene):
         tri_verts=jnp.asarray(tri_verts),
         world_tris=jnp.asarray(world_tris),
         world_tri_meta=jnp.asarray(world_tri_meta),
+        cluster_tris=jnp.asarray(cluster_tris),
+        cluster_bbox=jnp.asarray(cluster_bbox),
         instance_transforms=jnp.asarray(inst_tf),
         instance_inv_transforms=jnp.asarray(inst_inv),
         instance_flags=jnp.asarray(inst_flags),

@@ -30,3 +30,36 @@ def load_image(path):
     from PIL import Image
 
     return np.asarray(Image.open(path), np.float32) / 255.0
+
+
+def srgb_to_linear(x):
+    x = np.asarray(x, np.float32)
+    return np.where(x <= 0.04045, x / 12.92,
+                    ((x + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def load_env_map(path):
+    """Load an environment radiance map as (H, W, 3) float32 lat-long.
+
+    Replaces the reference's DDS cubemap load (reference:
+    Source/GPUTexture.cpp:165-245 CreateFromFile via DDSTextureLoader12;
+    the TPU build samples a single equirectangular panorama instead of a
+    cubemap — same role, simpler addressing on a vector machine).
+    Formats: .npy/.npz (linear float), anything PIL decodes (sRGB
+    LDR images are linearized; DDS files are treated as linear data).
+    """
+    lower = path.lower()
+    if lower.endswith(".npy"):
+        img = np.load(path)
+    elif lower.endswith(".npz"):
+        data = np.load(path)
+        img = data[list(data.keys())[0]]
+    else:
+        from PIL import Image
+
+        raw = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        img = raw if lower.endswith(".dds") else srgb_to_linear(raw)
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    return np.ascontiguousarray(img[..., :3])

@@ -1,0 +1,81 @@
+"""Clustered cull-and-sweep intersector: cluster build invariants +
+interpret-mode agreement with the stack traversal on a mid-size
+instanced scene."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from directcomputeraytracing_tpu.accel.cluster import (
+    CLUSTER_SIZE, build_clusters,
+)
+from directcomputeraytracing_tpu.accel.traverse import (
+    intersect_any, intersect_closest,
+)
+from directcomputeraytracing_tpu.scene.presets import sphere_grid
+from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+
+@pytest.fixture(scope="module")
+def grid_scene():
+    scene, cam = sphere_grid(3, 3, stacks=12, slices=16)
+    arrays, meta = flatten_scene(scene)
+    assert arrays.cluster_bbox.shape[0] > 1, "scene must trigger clustering"
+    return arrays, meta
+
+
+def test_cluster_build_invariants():
+    rng = np.random.default_rng(5)
+    n = 1000
+    tris = rng.uniform(-5, 5, (n, 9)).astype(np.float32)
+    meta = np.stack([np.arange(n), np.zeros(n), np.zeros(n)],
+                    axis=1).astype(np.float32)
+    tab, bbox = build_clusters(tris, meta)
+    c = bbox.shape[0]
+    assert tab.shape == (c * CLUSTER_SIZE, 12)
+    # every input triangle appears exactly once
+    ids = tab[:, 9][np.abs(tab[:, 0:9]).sum(1) > 0]
+    assert sorted(ids.astype(int).tolist()) == list(range(n))
+    # each cluster's bbox contains its triangles
+    for k in range(c):
+        rows = tab[k * CLUSTER_SIZE:(k + 1) * CLUSTER_SIZE]
+        live = np.abs(rows[:, 0:9]).sum(1) > 0
+        if not live.any():
+            continue
+        v = rows[live, 0:9].reshape(-1, 3)
+        assert (v >= bbox[k, 0:3] - 1e-5).all()
+        assert (v <= bbox[k, 3:6] + 1e-5).all()
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 4.0, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_clustered_closest_matches_stack_traversal(grid_scene):
+    arrays, meta = grid_scene
+    o, d = _rays(128)
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax")
+    b = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_cluster_interpret")
+    m = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(b.hit), m)
+    assert m.sum() > 20
+    np.testing.assert_allclose(np.asarray(b.t)[m], np.asarray(a.t)[m],
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(b.triangle)[m] == np.asarray(a.triangle)[m]).all()
+    assert (np.asarray(b.instance)[m] == np.asarray(a.instance)[m]).all()
+
+
+def test_clustered_anyhit_matches(grid_scene):
+    arrays, meta = grid_scene
+    o, d = _rays(128, seed=2)
+    a = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="jax")
+    b = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="pallas_cluster_interpret")
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
