@@ -63,24 +63,30 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     mrays = n / dt / 1e6
 
-    # ---- end-to-end spp/sec: Cornell 256x256 full path loop -------------
+    # ---- end-to-end spp/sec: Cornell 256x256 full path loop, 8 spp fused
+    # into each dispatch (amortizes the fixed tunnel dispatch latency)
+    from directcomputeraytracing_tpu.integrator.megakernel import (
+        render_samples_accumulated,
+    )
+
     cfg2 = RenderConfig(width=256, height=256, max_bounce=4,
                         stack_size=meta.stack_size,
                         light_count=meta.light_count)
     px2, py2 = full_frame_pixels(cfg2)
     luts = placeholder_luts()
+    fuse = 8
 
     @jax.jit
     def sample(seed):
-        _, v = render_samples(arrays, luts, cam, cfg2, px2, py2, seed)
-        return v
+        return render_samples_accumulated(arrays, luts, cam, cfg2, px2,
+                                          py2, seed, fuse)
 
     jax.block_until_ready(sample(jnp.uint32(0)))
-    reps2 = 4
+    reps2 = 3
     t0 = time.perf_counter()
     for k in range(reps2):
-        jax.block_until_ready(sample(jnp.uint32(k)))
-    spp_sec = reps2 / (time.perf_counter() - t0)
+        jax.block_until_ready(sample(jnp.uint32(k * fuse)))
+    spp_sec = reps2 * fuse / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "bvh_traversal_mrays_per_sec",

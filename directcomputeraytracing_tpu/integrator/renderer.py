@@ -142,6 +142,27 @@ class Renderer:
         """Resolved linear radiance (H, W, 3) numpy array."""
         return np.asarray(resolve(self.film))
 
+    def preview(self, spp=1, scale=4):
+        """Fast reduced-resolution render (the reference's quarter-res
+        interactive preview, LaunchRendererLoop.cpp:206-237). Returns a
+        (H/scale, W/scale, 3) linear image; does not touch the film."""
+        from .megakernel import render_samples
+
+        pw = max(self.cfg.width // scale, 1)
+        ph = max(self.cfg.height // scale, 1)
+        cfg = self.cfg.__class__(**{**self.cfg.__dict__,
+                                    "width": pw, "height": ph})
+        ys, xs = jnp.meshgrid(jnp.arange(ph, dtype=jnp.uint32),
+                              jnp.arange(pw, dtype=jnp.uint32),
+                              indexing="ij")
+        px, py = xs.ravel(), ys.ravel()
+        acc = jnp.zeros((ph * pw, 3), jnp.float32)
+        for s in range(spp):
+            _, v = render_samples(self.arrays, self.luts, self.camera,
+                                  cfg, px, py, jnp.uint32(s))
+            acc = acc + v
+        return np.asarray(acc).reshape(ph, pw, 3) / spp
+
     def postprocessed(self):
         """Display-ready sRGB image through the exposure/tonemap chain."""
         pinhole = bool(np.asarray(self.camera.aperture_radius) == 0.0)

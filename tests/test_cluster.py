@@ -79,3 +79,26 @@ def test_clustered_anyhit_matches(grid_scene):
     b = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
                       backend="pallas_cluster_interpret")
     np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_interval_cull_is_sound(grid_scene):
+    """The conservative bundle cull must never drop a cluster the exact
+    per-ray test enters (false positives are fine; false negatives would
+    lose intersections)."""
+    import numpy as np
+    from directcomputeraytracing_tpu.accel.pallas_brute import (
+        _cull_masks, _exact_masks, _pad_cluster_tables, _prep_rays,
+    )
+
+    arrays, meta = grid_scene
+    o, d = _rays(2048, seed=9)
+    ot, dt, _ = _prep_rays(o, d)
+    tables = _pad_cluster_tables(arrays)
+    n_groups = tables[2]
+    cons, gcons = _cull_masks(tables, ot, dt, interpret=True)
+    exact, gexact = _exact_masks(arrays, ot, dt, n_groups)
+    c = np.asarray(cons)[:, :np.asarray(exact).shape[1]]
+    e = np.asarray(exact)
+    assert (c >= e - 1e-6).all(), "conservative cull dropped a cluster"
+    # and it should still cull a meaningful fraction on coherent blocks
+    assert np.asarray(gcons).mean() <= 1.0
