@@ -87,6 +87,53 @@ def ray_triangle_moeller(o, d, t_min, t_max, v0, v1, v2):
     return t, u, v, backface, hit
 
 
+def ray_triangle_watertight(o, d, t_min, t_max, v0, v1, v2):
+    """Batched watertight ray-triangle test (PBRT permute+shear;
+    reference: RayPrimitiveIntersect.inc.hlsl:7-70 under
+    WATERTIGHT_RAY_TRIANGLE_INTERSECTION, permute/shear from
+    BVHAccel.inc.hlsl:72-83). Returns (t, u, v, backface, hit_mask)."""
+    ad = jnp.abs(d)
+    kz = jnp.argmax(ad, axis=-1)
+    kx = jnp.where(kz == 2, 0, kz + 1)
+    ky = jnp.where(kx == 2, 0, kx + 1)
+
+    def pc(vec, k):
+        return jnp.where(k == 0, vec[..., 0],
+                         jnp.where(k == 1, vec[..., 1], vec[..., 2]))
+
+    d_z = pc(d, kz)
+    inv_z = 1.0 / jnp.where(jnp.abs(d_z) < 1e-30, 1e-30, d_z)
+    sx = -pc(d, kx) * inv_z
+    sy = -pc(d, ky) * inv_z
+    sz = inv_z
+
+    def shear(vtx):
+        p = vtx - o
+        pz = pc(p, kz)
+        return (pc(p, kx) + sx * pz, pc(p, ky) + sy * pz, pz)
+
+    p0x, p0y, p0z = shear(v0)
+    p1x, p1y, p1z = shear(v1)
+    p2x, p2y, p2z = shear(v2)
+    e0 = p1x * p2y - p2x * p1y
+    e1 = p2x * p0y - p0x * p2y
+    e2 = p0x * p1y - p1x * p0y
+    mixed = (((e0 < 0.0) | (e1 < 0.0) | (e2 < 0.0))
+             & ((e0 > 0.0) | (e1 > 0.0) | (e2 > 0.0)))
+    det = e0 + e1 + e2
+    det_ok = det != 0.0
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    t = (e0 * p0z + e1 * p1z + e2 * p2z) * sz * inv_det
+    u = e1 * inv_det
+    v = e2 * inv_det
+    backface = jnp.sign(sz) * det < 0.0
+    c = jnp.cross(v1 - v0, v2 - v0)
+    degenerate = jnp.sum(c * c, axis=-1) == 0.0
+    hit = (~mixed & det_ok & ~degenerate
+           & (t >= t_min) & (t < t_max))
+    return t, u, v, backface, hit
+
+
 def ray_aabb(o, inv_d, t_min, t_max, bmin, bmax):
     """Batched slab test (reference: RayPrimitiveIntersect.inc.hlsl:106-133)."""
     ta = (bmin - o) * inv_d
@@ -119,7 +166,9 @@ def _axis_component(vec, axis):
 
 
 def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
-              any_hit):
+              any_hit, watertight=False):
+    tri_test = (ray_triangle_watertight if watertight
+                else ray_triangle_moeller)
     R = origin.shape[0]
     n_nodes = scene.node_table.shape[0]
     n_inst = scene.instance_inv_transforms.shape[0]
@@ -227,7 +276,7 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
             prim = jnp.clip(rop + k, 0, n_tris - 1)
             tested = is_leaf & (k < cnt)
             tv = scene.tri_verts[prim]                  # (R, 9)
-            t, u, v, back, ok = ray_triangle_moeller(
+            t, u, v, back, ok = tri_test(
                 lo_new, ld_new, t_min, t_max_cur,
                 tv[:, 0:3], tv[:, 3:6], tv[:, 6:9])
             accept = tested & ok
@@ -286,9 +335,12 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
 # Dense brute-force sweep (small scenes): no gathers at all
 # ---------------------------------------------------------------------------
 
-def _brute(scene, origin, direction, t_min, t_max_init, any_hit):
+def _brute(scene, origin, direction, t_min, t_max_init, any_hit,
+           watertight=False):
     """Sweep all world-space triangles in static slabs of BRUTE_TRI_SLAB;
-    each slab is a dense (R, SLAB) Moeller-Trumbore batch on the VPU."""
+    each slab is a dense (R, SLAB) ray-triangle batch on the VPU."""
+    tri_test = (ray_triangle_watertight if watertight
+                else ray_triangle_moeller)
     R = origin.shape[0]
     tris = scene.world_tris
     meta = scene.world_tri_meta
@@ -310,7 +362,7 @@ def _brute(scene, origin, direction, t_min, t_max_init, any_hit):
     def slab(k, st):
         (hit_t, hit_u, hit_v, hit_tri, hit_inst, hit_back, occ, t_max) = st
         tv = tris[k]                                   # (SLAB, 9)
-        t, u, v, back, ok = ray_triangle_moeller(
+        t, u, v, back, ok = tri_test(
             o, d, t_min, t_max[:, None], tv[None, :, 0:3], tv[None, :, 3:6],
             tv[None, :, 6:9])
         ok = ok & valid_pad[k][None, :]
@@ -367,8 +419,13 @@ def _resolve_backend(scene, backend):
 
 
 def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
-                      backend="auto"):
-    """Closest-hit over the scene. origin/direction: (R, 3) f32."""
+                      backend="auto", watertight=False):
+    """Closest-hit over the scene. origin/direction: (R, 3) f32.
+    watertight selects the PBRT permute+shear triangle test (XLA backends
+    only; the Pallas kernels use Moeller-Trumbore, so auto downgrades to
+    'brute'/'jax' when watertight is requested)."""
+    if watertight and backend in ("auto", "pallas", "pallas_cluster"):
+        backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
     if backend in ("pallas", "pallas_interpret", "pallas_cluster",
                    "pallas_cluster_interpret"):
@@ -386,12 +443,13 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                        iterations=jnp.zeros_like(tri))
     if backend == "brute":
         (t, u, v, tri, inst, back, _, _) = _brute(
-            scene, origin, direction, F32(t_min), jnp.inf, any_hit=False)
+            scene, origin, direction, F32(t_min), jnp.inf, any_hit=False,
+            watertight=watertight)
         return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
                        backface=back, hit=jnp.isfinite(t),
                        iterations=jnp.zeros_like(tri))
     s = _traverse(scene, origin, direction, F32(t_min), jnp.inf,
-                  stack_size, any_hit=False)
+                  stack_size, any_hit=False, watertight=watertight)
     return HitInfo(
         t=s.hit_t, u=s.hit_u, v=s.hit_v,
         triangle=s.hit_tri, instance=s.hit_inst, backface=s.hit_back,
@@ -400,8 +458,10 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
 
 
 def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
-                  backend="auto"):
+                  backend="auto", watertight=False):
     """Occlusion query: True where any hit exists in (t_min, t_max)."""
+    if watertight and backend in ("auto", "pallas", "pallas_cluster"):
+        backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
     if backend in ("pallas", "pallas_interpret", "pallas_cluster",
                    "pallas_cluster_interpret"):
@@ -415,8 +475,8 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                                 interpret=interp)
     if backend == "brute":
         out = _brute(scene, origin, direction, F32(t_min), t_max,
-                     any_hit=True)
+                     any_hit=True, watertight=watertight)
         return out[6]
     s = _traverse(scene, origin, direction, F32(t_min), t_max,
-                  stack_size, any_hit=True)
+                  stack_size, any_hit=True, watertight=watertight)
     return s.occluded

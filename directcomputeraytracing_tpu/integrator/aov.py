@@ -43,7 +43,7 @@ def render_aov(scene, cam, cfg: RenderConfig, pixel_x, pixel_y, frame_seed,
     # it pins the "jax" backend; other AOVs use the scene's default
     backend = "jax" if kind == "iteration_count" else cfg.traversal_backend
     hit = intersect_closest(scene, origin, wi, cfg.stack_size,
-                            backend=backend)
+                            backend=backend, watertight=cfg.watertight)
     itx = shade_hit(scene, origin, wi, hit)
     mask = hit.hit[..., None]
 

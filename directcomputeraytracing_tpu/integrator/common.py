@@ -51,6 +51,7 @@ class RenderConfig:
     filter_type: str = "box"            # film reconstruction filter
     filter_radius: float = 0.5
     any_hit: bool = False               # alpha-tested transparency
+    watertight: bool = False            # PBRT watertight triangle test
 
     @property
     def has_env_light(self):

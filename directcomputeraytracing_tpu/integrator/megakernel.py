@@ -76,7 +76,8 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
 
     with jax.named_scope("primary_raycast"):
         hit = intersect_closest(scene, origin, wi, cfg.stack_size,
-                                backend=cfg.traversal_backend)
+                                backend=cfg.traversal_backend,
+                                watertight=cfg.watertight)
     with jax.named_scope("shade_hit"):
         itx = shade_hit(scene, origin, wi, hit)
     itx = itx._replace(position=_sel(hit.hit, itx.position, origin))
@@ -121,7 +122,8 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
             with jax.named_scope("shadow_raycast"):
                 occluded = intersect_any(scene, shadow_o, ls.wi,
                                          ls.distance, cfg.stack_size,
-                                         backend=cfg.traversal_backend)
+                                         backend=cfg.traversal_backend,
+                                watertight=cfg.watertight)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))
@@ -150,7 +152,8 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
         alive = active & ~dead
         with jax.named_scope("extension_raycast"):
             hit2 = intersect_closest(scene, ext_o, wi_new, cfg.stack_size,
-                                     backend=cfg.traversal_backend)
+                                     backend=cfg.traversal_backend,
+                                watertight=cfg.watertight)
         with jax.named_scope("shade_hit"):
             itx2 = shade_hit(scene, ext_o, wi_new, hit2)
 

@@ -142,7 +142,8 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
 
         # ---- EXTENSION_RAY_CAST: primary + extension rays together ------
         hit = intersect_closest(scene, ray_o, ray_d, cfg.stack_size,
-                                backend=cfg.traversal_backend)
+                                backend=cfg.traversal_backend,
+                                watertight=cfg.watertight)
         itx = shade_hit(scene, ray_o, ray_d, hit)
         itx = itx._replace(position=_sel(hit.hit, itx.position, ray_o))
 
@@ -189,7 +190,8 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
             # ---- SHADOW_RAY_CAST ----
             occluded = intersect_any(scene, shadow_o, ls.wi, ls.distance,
                                      cfg.stack_size,
-                                     backend=cfg.traversal_backend)
+                                     backend=cfg.traversal_backend,
+                                watertight=cfg.watertight)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))

@@ -159,9 +159,9 @@ def uv_sphere(stacks=16, slices=24):
             a = i * (slices + 1) + j
             b = a + slices + 1
             if i > 0:
-                idx.append([a, a + 1, b])
+                idx.append([a, b, a + 1])
             if i < stacks - 1:
-                idx.append([a + 1, b + 1, b])
+                idx.append([a + 1, b, b + 1])
     return verts, np.asarray(idx, np.int64)
 
 
