@@ -166,9 +166,10 @@ def _axis_component(vec, axis):
 
 
 def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
-              any_hit, watertight=False):
+              any_hit, watertight=False, opacity_u=None):
     tri_test = (ray_triangle_watertight if watertight
                 else ray_triangle_moeller)
+    alpha_test = opacity_u is not None
     R = origin.shape[0]
     n_nodes = scene.node_table.shape[0]
     n_inst = scene.instance_inv_transforms.shape[0]
@@ -280,6 +281,26 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
                 lo_new, ld_new, t_min, t_max_cur,
                 tv[:, 0:3], tv[:, 3:6], tv[:, 6:9])
             accept = tested & ok
+            if alpha_test:
+                # reference: AnyHitShader (HitShader.inc.hlsl:86-113) —
+                # only non-opaque instances alpha-test; instance material
+                # override wins over the triangle's material
+                from ..core.constants import (
+                    INSTANCE_FLAG_OPAQUE,
+                    INSTANCE_MATERIAL_OVERRIDE_NONE,
+                )
+                inst_c = jnp.clip(inst_new, 0,
+                                  scene.instance_flags.shape[0] - 1)
+                opaque = (scene.instance_flags[inst_c]
+                          & U32(INSTANCE_FLAG_OPAQUE)) != 0
+                override = scene.instance_material_overrides[inst_c]
+                has_ov = override != U32(INSTANCE_MATERIAL_OVERRIDE_NONE)
+                ov_opacity = scene.mat_opacity[
+                    jnp.clip(override, 0,
+                             scene.mat_opacity.shape[0] - 1).astype(I32)]
+                opac = jnp.where(has_ov, ov_opacity,
+                                 scene.tri_opacity[prim])
+                accept = accept & (opaque | (opacity_u < opac))
             if any_hit:
                 occluded = occluded | accept
             else:
@@ -336,7 +357,7 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
 # ---------------------------------------------------------------------------
 
 def _brute(scene, origin, direction, t_min, t_max_init, any_hit,
-           watertight=False):
+           watertight=False, opacity_u=None):
     """Sweep all world-space triangles in static slabs of BRUTE_TRI_SLAB;
     each slab is a dense (R, SLAB) ray-triangle batch on the VPU."""
     tri_test = (ray_triangle_watertight if watertight
@@ -350,6 +371,10 @@ def _brute(scene, origin, direction, t_min, t_max_init, any_hit,
     if pad:
         tris = jnp.pad(tris, ((0, pad), (0, 0)))        # degenerate: miss
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
+    opac = scene.world_tri_opacity
+    if pad:
+        opac = jnp.pad(opac, (0, pad))
+    opac = opac.reshape(n_slabs, BRUTE_TRI_SLAB)
     tris = tris.reshape(n_slabs, BRUTE_TRI_SLAB, 9)
     meta = meta.reshape(n_slabs, BRUTE_TRI_SLAB, 3)
     valid_pad = (jnp.arange(n_slabs * BRUTE_TRI_SLAB) < B).reshape(
@@ -366,6 +391,8 @@ def _brute(scene, origin, direction, t_min, t_max_init, any_hit,
             o, d, t_min, t_max[:, None], tv[None, :, 0:3], tv[None, :, 3:6],
             tv[None, :, 6:9])
         ok = ok & valid_pad[k][None, :]
+        if opacity_u is not None:
+            ok = ok & (opacity_u[:, None] < opac[k][None, :])
         if any_hit:
             occ = occ | jnp.any(ok, axis=1)
             return (hit_t, hit_u, hit_v, hit_tri, hit_inst, hit_back, occ,
@@ -419,12 +446,13 @@ def _resolve_backend(scene, backend):
 
 
 def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
-                      backend="auto", watertight=False):
+                      backend="auto", watertight=False, opacity_u=None):
     """Closest-hit over the scene. origin/direction: (R, 3) f32.
     watertight selects the PBRT permute+shear triangle test (XLA backends
     only; the Pallas kernels use Moeller-Trumbore, so auto downgrades to
     'brute'/'jax' when watertight is requested)."""
-    if watertight and backend in ("auto", "pallas", "pallas_cluster"):
+    if (watertight or opacity_u is not None) and backend in (
+            "auto", "pallas", "pallas_cluster"):
         backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
     if backend in ("pallas", "pallas_interpret", "pallas_cluster",
@@ -444,12 +472,13 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
     if backend == "brute":
         (t, u, v, tri, inst, back, _, _) = _brute(
             scene, origin, direction, F32(t_min), jnp.inf, any_hit=False,
-            watertight=watertight)
+            watertight=watertight, opacity_u=opacity_u)
         return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
                        backface=back, hit=jnp.isfinite(t),
                        iterations=jnp.zeros_like(tri))
     s = _traverse(scene, origin, direction, F32(t_min), jnp.inf,
-                  stack_size, any_hit=False, watertight=watertight)
+                  stack_size, any_hit=False, watertight=watertight,
+                  opacity_u=opacity_u)
     return HitInfo(
         t=s.hit_t, u=s.hit_u, v=s.hit_v,
         triangle=s.hit_tri, instance=s.hit_inst, backface=s.hit_back,
@@ -458,9 +487,10 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
 
 
 def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
-                  backend="auto", watertight=False):
+                  backend="auto", watertight=False, opacity_u=None):
     """Occlusion query: True where any hit exists in (t_min, t_max)."""
-    if watertight and backend in ("auto", "pallas", "pallas_cluster"):
+    if (watertight or opacity_u is not None) and backend in (
+            "auto", "pallas", "pallas_cluster"):
         backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
     if backend in ("pallas", "pallas_interpret", "pallas_cluster",
@@ -475,8 +505,10 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                                 interpret=interp)
     if backend == "brute":
         out = _brute(scene, origin, direction, F32(t_min), t_max,
-                     any_hit=True, watertight=watertight)
+                     any_hit=True, watertight=watertight,
+                     opacity_u=opacity_u)
         return out[6]
     s = _traverse(scene, origin, direction, F32(t_min), t_max,
-                  stack_size, any_hit=True, watertight=watertight)
+                  stack_size, any_hit=True, watertight=watertight,
+                  opacity_u=opacity_u)
     return s.occluded

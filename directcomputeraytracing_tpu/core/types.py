@@ -49,6 +49,11 @@ class SceneArrays(NamedTuple):
     # fixed 64-triangle slabs + per-cluster AABBs ((64,12)/(1,8) when unused)
     cluster_tris: jnp.ndarray    # (C*64, 12) f32
     cluster_bbox: jnp.ndarray    # (C, 8) f32 bmin|bmax|pad
+    # Alpha-test data (reference: AnyHitShader, HitShader.inc.hlsl:86-113):
+    # per leaf-ordered triangle base-material opacity, and per world
+    # triangle the override-aware opacity (1.0 rows for opaque instances)
+    tri_opacity: jnp.ndarray       # (T,) f32
+    world_tri_opacity: jnp.ndarray  # (B,) f32
 
     # Instances
     instance_transforms: jnp.ndarray      # (I, 4, 3) f32 local->world

@@ -74,10 +74,15 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
     rng, aperture_sample = next_sample_3d(rng)
     origin, wi = generate_ray(cam, film_sample, aperture_sample)
 
+    # alpha-tested scenes pre-draw one opacity sample per traversal
+    # (reference: MegakernelPathTracing.hlsl:28,58)
+    ou = None
+    if cfg.any_hit:
+        rng, ou = next_sample_1d(rng)
     with jax.named_scope("primary_raycast"):
         hit = intersect_closest(scene, origin, wi, cfg.stack_size,
                                 backend=cfg.traversal_backend,
-                                watertight=cfg.watertight)
+                                watertight=cfg.watertight, opacity_u=ou)
     with jax.named_scope("shade_hit"):
         itx = shade_hit(scene, origin, wi, hit)
     itx = itx._replace(position=_sel(hit.hit, itx.position, origin))
@@ -119,11 +124,15 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
                                      u_sel, u_tri, u2)
             shadow_o = offset_ray_origin(itx.position, itx.geometry_normal,
                                          ls.wi)
+            ou_s = None
+            if cfg.any_hit:
+                rng, ou_s = _masked_1d(rng, active)
             with jax.named_scope("shadow_raycast"):
                 occluded = intersect_any(scene, shadow_o, ls.wi,
                                          ls.distance, cfg.stack_size,
                                          backend=cfg.traversal_backend,
-                                watertight=cfg.watertight)
+                                         watertight=cfg.watertight,
+                                         opacity_u=ou_s)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))
@@ -150,10 +159,17 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
 
         ext_o = offset_ray_origin(itx.position, itx.geometry_normal, wi_new)
         alive = active & ~dead
+        ou_e = None
+        if cfg.any_hit:
+            # masked on alive (not active): a path whose BSDF sample died
+            # never casts the extension ray, so it must not consume the
+            # opacity sample -- keeps the wavefront stream identical
+            rng, ou_e = _masked_1d(rng, alive)
         with jax.named_scope("extension_raycast"):
             hit2 = intersect_closest(scene, ext_o, wi_new, cfg.stack_size,
                                      backend=cfg.traversal_backend,
-                                watertight=cfg.watertight)
+                                     watertight=cfg.watertight,
+                                     opacity_u=ou_e)
         with jax.named_scope("shade_hit"):
             itx2 = shade_hit(scene, ext_o, wi_new, hit2)
 

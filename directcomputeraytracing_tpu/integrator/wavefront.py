@@ -67,6 +67,7 @@ class PoolState(NamedTuple):
     bsdf_pdf: jnp.ndarray   # (P,) pdf of the sampled BSDF dir (for MIS)
     is_delta: jnp.ndarray   # (P,) bool delta-lobe flag
     bounce: jnp.ndarray     # (P,) i32
+    opacity_u: jnp.ndarray  # (P,) f32 pre-drawn alpha-test sample
     busy: jnp.ndarray       # (P,) bool lane holds a live path
     cursor: jnp.ndarray     # () i32 next unassigned pixel
     # film accumulation (per-pixel)
@@ -96,6 +97,7 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
         bsdf_pdf=jnp.zeros(P, F32),
         is_delta=jnp.zeros(P, bool),
         bounce=jnp.zeros(P, I32),
+        opacity_u=jnp.zeros(P, F32),
         busy=jnp.zeros(P, bool),
         cursor=jnp.asarray(0, I32),
         out_pos=jnp.zeros((R, 2), F32),
@@ -128,6 +130,12 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
         film_sample = (pixel_sample + pix) / res
         rng, aperture_sample = _m3(rng, take)
         cam_o, cam_d = generate_ray(cam, film_sample, aperture_sample)
+        opacity_u = s.opacity_u
+        if cfg.any_hit:
+            # primary cast's pre-drawn opacity sample (megakernel draw
+            # site: right after the aperture sample)
+            rng, ou_new = _m1(rng, take)
+            opacity_u = jnp.where(take, ou_new, opacity_u)
 
         ray_o = _sel(take, cam_o, s.ray_o)
         ray_d = _sel(take, cam_d, s.ray_d)
@@ -141,9 +149,13 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
             pixel_sample, mode="drop")
 
         # ---- EXTENSION_RAY_CAST: primary + extension rays together ------
-        hit = intersect_closest(scene, ray_o, ray_d, cfg.stack_size,
-                                backend=cfg.traversal_backend,
-                                watertight=cfg.watertight)
+        # alpha sample was pre-drawn at this cast's generation site
+        # (refill for primaries, MATERIAL for extensions) — exactly the
+        # megakernel's draw order
+        hit = intersect_closest(
+            scene, ray_o, ray_d, cfg.stack_size,
+            backend=cfg.traversal_backend, watertight=cfg.watertight,
+            opacity_u=opacity_u if cfg.any_hit else None)
         itx = shade_hit(scene, ray_o, ray_d, hit)
         itx = itx._replace(position=_sel(hit.hit, itx.position, ray_o))
 
@@ -187,11 +199,15 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
                                      u_sel, u_tri, u2)
             shadow_o = offset_ray_origin(itx.position, itx.geometry_normal,
                                          ls.wi)
+            ou_s = None
+            if cfg.any_hit:
+                rng, ou_s = _m1(rng, alive)
             # ---- SHADOW_RAY_CAST ----
             occluded = intersect_any(scene, shadow_o, ls.wi, ls.distance,
                                      cfg.stack_size,
                                      backend=cfg.traversal_backend,
-                                watertight=cfg.watertight)
+                                     watertight=cfg.watertight,
+                                     opacity_u=ou_s)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))
@@ -216,6 +232,11 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
         ext_o = offset_ray_origin(itx.position, itx.geometry_normal, wi_new)
 
         still = alive & ~dead
+        if cfg.any_hit:
+            # extension cast's opacity sample (megakernel: after the BSDF
+            # draws, masked on the surviving lanes)
+            rng, ou_e = _m1(rng, still)
+            opacity_u = jnp.where(still, ou_e, opacity_u)
         ray_o = _sel(still, ext_o, ray_o)
         ray_d = _sel(still, wi_new, ray_d)
         bsdf_pdf = jnp.where(still, f_pdf, s.bsdf_pdf)
@@ -230,8 +251,9 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
         return PoolState(
             rng=rng, pixel=pixel_new, ray_o=ray_o, ray_d=ray_d,
             throughput=throughput, li=li, bsdf_pdf=bsdf_pdf,
-            is_delta=is_delta_new, bounce=bounce, busy=still,
-            cursor=cursor_new, out_pos=out_pos, out_val=out_val)
+            is_delta=is_delta_new, bounce=bounce, opacity_u=opacity_u,
+            busy=still, cursor=cursor_new, out_pos=out_pos,
+            out_val=out_val)
 
     out = jax.lax.while_loop(cond, step, state)
     return out.out_pos, out.out_val

@@ -344,6 +344,27 @@ def flatten_scene(scene: Scene):
 
     # clustered layout for the cull-and-sweep kernel: worth its indirection
     # once the flat sweep would visit thousands of triangles per ray
+    # per-triangle opacity tables for alpha-tested traversal
+    tri_opacity = mat_opacity[material_ids.astype(np.int64)].astype(
+        np.float32)
+    if world_tris.shape[0] > 1:
+        wto = []
+        for ii, inst in enumerate(scene.instances):
+            m = inst.mesh
+            lo = int(mesh_tri_offsets[m])
+            n_t = scene.meshes[m].indices.shape[0]
+            if inst_flags[ii] & INSTANCE_FLAG_OPAQUE:
+                wto.append(np.ones(n_t, np.float32))
+            elif 0 <= inst.material_override < M:
+                wto.append(np.full(n_t,
+                                   mat_opacity[inst.material_override],
+                                   np.float32))
+            else:
+                wto.append(tri_opacity[lo: lo + n_t])
+        world_tri_opacity = np.concatenate(wto)
+    else:
+        world_tri_opacity = np.ones(1, np.float32)
+
     if 2048 < world_tris.shape[0]:
         from ..accel.cluster import build_clusters
 
@@ -369,6 +390,8 @@ def flatten_scene(scene: Scene):
         world_tri_meta=jnp.asarray(world_tri_meta),
         cluster_tris=jnp.asarray(cluster_tris),
         cluster_bbox=jnp.asarray(cluster_bbox),
+        tri_opacity=jnp.asarray(tri_opacity),
+        world_tri_opacity=jnp.asarray(world_tri_opacity),
         instance_transforms=jnp.asarray(inst_tf),
         instance_inv_transforms=jnp.asarray(inst_inv),
         instance_flags=jnp.asarray(inst_flags),

@@ -1,0 +1,115 @@
+"""Alpha-tested transparency (mask/opacity materials).
+
+Reference behavior: AnyHitShader (HitShader.inc.hlsl:86-113) accepts a
+candidate hit iff the pre-drawn per-ray opacity sample is below the
+material opacity; opaque instances skip the test
+(BVHAccel.inc.hlsl:182-190)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from directcomputeraytracing_tpu.accel.traverse import (
+    intersect_any, intersect_closest,
+)
+from directcomputeraytracing_tpu.core.types import CameraParams
+from directcomputeraytracing_tpu.camera.camera import look_at_transform
+from directcomputeraytracing_tpu.integrator.common import RenderConfig
+from directcomputeraytracing_tpu.integrator.megakernel import (
+    full_frame_pixels, render_samples,
+)
+from directcomputeraytracing_tpu.integrator.wavefront import (
+    render_samples_wavefront,
+)
+from directcomputeraytracing_tpu.lut.textures import placeholder_luts
+from directcomputeraytracing_tpu.scene.presets import _quad
+from directcomputeraytracing_tpu.scene.scene import (
+    Instance, Material, Mesh, PunctualLight, Scene, flatten_scene,
+)
+
+
+def _panel_scene(opacity):
+    """A floor plus a semi-transparent panel above it, lit by a point
+    light from above: the panel's shadow density tracks its opacity."""
+    fp, fi = _quad([-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2])
+    floor = Mesh(positions=fp, indices=fi,
+                 material_ids=np.zeros(len(fi), np.int64), name="floor")
+    pp, pi = _quad([-1, 1, -1], [-1, 1, 1], [1, 1, 1], [1, 1, -1])
+    panel = Mesh(positions=pp, indices=pi,
+                 material_ids=np.ones(len(pi), np.int64), name="panel")
+    mats = [Material(albedo=(0.8, 0.8, 0.8), name="floor"),
+            Material(albedo=(0.8, 0.8, 0.8), opacity=opacity,
+                     name="panel")]
+    scene = Scene(
+        meshes=[floor, panel],
+        instances=[Instance(mesh=0), Instance(mesh=1)],
+        materials=mats,
+        lights=[PunctualLight(kind="point", radiance=(20, 20, 20),
+                              position=(0.0, 3.0, 0.0))])
+    cam = CameraParams.create(
+        transform=look_at_transform((0, 2.5, -4.0), (0, 0, 0)),
+        fov_x=np.deg2rad(45.0))
+    return scene, cam
+
+
+def _render(opacity, integrator="megakernel", spp=16, seed0=0):
+    scene, cam = _panel_scene(opacity)
+    arrays, meta = flatten_scene(scene)
+    cfg = RenderConfig(width=24, height=24, max_bounce=2,
+                       stack_size=meta.stack_size,
+                       light_count=meta.light_count,
+                       any_hit=meta.any_non_opaque)
+    px, py = full_frame_pixels(cfg)
+    luts = placeholder_luts()
+    fn = (render_samples if integrator == "megakernel"
+          else render_samples_wavefront)
+    acc = np.zeros((px.shape[0], 3), np.float32)
+    for s in range(spp):
+        _, v = fn(arrays, luts, cam, cfg, px, py, jnp.uint32(seed0 + s))
+        acc += np.asarray(v)
+    return (acc / spp).reshape(24, 24, 3), meta
+
+
+def test_any_hit_flag_detected():
+    scene, cam = _panel_scene(0.5)
+    arrays, meta = flatten_scene(scene)
+    assert meta.any_non_opaque
+    scene2, _ = _panel_scene(1.0)
+    _, meta2 = flatten_scene(scene2)
+    assert not meta2.any_non_opaque
+
+
+def test_occlusion_rate_tracks_opacity():
+    scene, cam = _panel_scene(0.3)
+    arrays, meta = flatten_scene(scene)
+    n = 4096
+    rng = np.random.default_rng(0)
+    # rays from below the panel straight up at the light
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = rng.uniform(-0.5, 0.5, n)
+    o[:, 1] = 0.01
+    o[:, 2] = rng.uniform(-0.5, 0.5, n)
+    d = np.tile(np.asarray([[0, 1, 0]], np.float32), (n, 1))
+    u = jnp.asarray(rng.random(n, dtype=np.float32))
+    occ = intersect_any(arrays, jnp.asarray(o), jnp.asarray(d),
+                        jnp.float32(2.5), meta.stack_size,
+                        backend="jax", opacity_u=u)
+    rate = float(np.asarray(occ).mean())
+    assert abs(rate - 0.3) < 0.05, rate
+    # without alpha testing, everything is occluded
+    occ2 = intersect_any(arrays, jnp.asarray(o), jnp.asarray(d),
+                         jnp.float32(2.5), meta.stack_size, backend="jax")
+    assert np.asarray(occ2).all()
+
+
+def test_shadow_density_tracks_opacity():
+    img_opaque, _ = _render(1.0)
+    img_half, _ = _render(0.5)
+    # the half-transparent panel leaks light: the image is brighter
+    assert img_half.mean() > img_opaque.mean() * 1.1
+
+
+def test_wavefront_matches_megakernel_with_alpha():
+    a, _ = _render(0.5, "megakernel", spp=4, seed0=11)
+    b, _ = _render(0.5, "wavefront", spp=4, seed0=11)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
