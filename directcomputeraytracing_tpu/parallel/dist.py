@@ -134,3 +134,26 @@ class DistributedRenderer:
         w = np.asarray(self.film_w)[: self.n_rays]
         img = v / np.maximum(w[:, None], 1e-10)
         return img.reshape(self.cfg.height, self.cfg.width, 3)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: `jax.distributed.initialize` with env-var
+    fallbacks (the reference is single-process; this is the first-class
+    `dist` entry point SURVEY.md §5 calls for). Safe to call when already
+    initialized or single-host (no-op)."""
+    import os
+
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    addr = coordinator_address or os.environ.get("DCRT_COORDINATOR")
+    if addr is None:
+        return  # single host
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes
+        or int(os.environ.get("DCRT_NUM_PROCESSES", "1")),
+        process_id=process_id
+        or int(os.environ.get("DCRT_PROCESS_ID", "0")))
