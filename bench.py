@@ -76,16 +76,18 @@ def main():
     luts = placeholder_luts()
     fuse = 8
 
-    @jax.jit
     def sample(seed):
-        return render_samples_accumulated(arrays, luts, cam, cfg2, px2,
-                                          py2, seed, fuse)
+        out = render_samples_accumulated(arrays, luts, cam, cfg2, px2,
+                                         py2, seed, fuse)
+        # force a device->host readback: through the remote-device tunnel
+        # block_until_ready alone can under-report
+        return float(out.sum())
 
-    jax.block_until_ready(sample(jnp.uint32(0)))
+    sample(jnp.uint32(0))
     reps2 = 3
     t0 = time.perf_counter()
     for k in range(reps2):
-        jax.block_until_ready(sample(jnp.uint32(k * fuse)))
+        sample(jnp.uint32((k + 1) * fuse))
     spp_sec = reps2 * fuse / (time.perf_counter() - t0)
 
     print(json.dumps({

@@ -46,7 +46,7 @@ class RenderConfig:
     has_env_texture: bool = False
     light_visible: bool = True          # env/mesh lights visible to camera
     use_vndf: bool = True
-    traversal_backend: str = "jax"      # 'jax' | 'pallas'
+    traversal_backend: str = "auto"     # auto|jax|brute|pallas|pallas_cluster
     tile_size: int = 0                  # 0 = whole image per dispatch
     filter_type: str = "box"            # film reconstruction filter
     filter_radius: float = 0.5

@@ -49,46 +49,55 @@ def placeholder_luts():
     )
 
 
-def _lerp_axis(u, dim):
-    """u in [0,1] -> (i0, i1, frac) sampling texel centers 0..dim-1."""
+def _lerp_weights(u, dim):
+    """u in [0,1] -> (R, dim) linear-interpolation weight rows (two
+    nonzeros per row).
+
+    TPU note: gathers pay a large fixed per-op cost regardless of table
+    size, and the BxDF dispatch samples LUTs dozens of times per bounce —
+    measured, corner-gather bilinear made `sample_bsdf` ~60 ms at 65k
+    rays. Weight-matrix contraction replaces every gather with small
+    matmul/elementwise passes that ride the MXU/VPU."""
     pos = jnp.clip(u, 0.0, 1.0) * (dim - 1)
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, dim - 1)
-    return i0, i1, pos - i0.astype(pos.dtype)
+    i0 = jnp.floor(pos)
+    f = (pos - i0)[..., None]
+    lane = jnp.arange(dim, dtype=pos.dtype)
+    d0 = lane[None, :] - i0[..., None]          # 0 where lane == i0
+    w = jnp.where(d0 == 0.0, 1.0 - f, 0.0) + jnp.where(d0 == 1.0, f, 0.0)
+    # clamp at the top texel: i1 collapses onto i0
+    top = i0[..., None] == (dim - 1)
+    return jnp.where(top & (d0 == 0.0), 1.0, w)
 
 
 def _sample_1d(tex, u):
-    i0, i1, f = _lerp_axis(u, tex.shape[0])
-    return tex[i0] * (1.0 - f) + tex[i1] * f
+    w = _lerp_weights(u, tex.shape[0])
+    return w @ tex
 
 
 def _sample_2d(tex, uy, ux):
-    """tex (Y, X); uy indexes axis 0, ux axis 1. Bilinear."""
-    y0, y1, fy = _lerp_axis(uy, tex.shape[0])
-    x0, x1, fx = _lerp_axis(ux, tex.shape[1])
-    v00 = tex[y0, x0]
-    v01 = tex[y0, x1]
-    v10 = tex[y1, x0]
-    v11 = tex[y1, x1]
-    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
-            + (v10 * (1 - fx) + v11 * fx) * fy)
+    """tex (Y, X); uy indexes axis 0, ux axis 1. Bilinear via weight
+    contraction (no gathers)."""
+    wy = _lerp_weights(uy, tex.shape[0])           # (R, Y)
+    wx = _lerp_weights(ux, tex.shape[1])           # (R, X)
+    rows = wy @ tex                                # (R, X)
+    return jnp.sum(rows * wx, axis=-1)
 
 
 def _sample_3d(tex, uz, uy, ux, entering):
-    """tex (2, Z, Y, X); trilinear with the entering/leaving slice select."""
-    side = jnp.asarray(entering, jnp.int32)
-    z0, z1, fz = _lerp_axis(uz, tex.shape[1])
-    y0, y1, fy = _lerp_axis(uy, tex.shape[2])
-    x0, x1, fx = _lerp_axis(ux, tex.shape[3])
+    """tex (2, Z, Y, X); trilinear + entering/leaving slice select, all
+    as weight contractions."""
+    side = jnp.asarray(entering, jnp.bool_)
+    z, y, x = tex.shape[1:]
+    wz = _lerp_weights(uz, z)                      # (R, Z)
+    wy = _lerp_weights(uy, y)                      # (R, Y)
+    wx = _lerp_weights(ux, x)                      # (R, X)
 
-    def at(z, y, x):
-        return tex[side, z, y, x]
+    def one_side(t):
+        a = (wz @ t.reshape(z, y * x)).reshape(-1, y, x)   # (R, Y, X)
+        b = jnp.sum(a * wy[:, :, None], axis=1)            # (R, X)
+        return jnp.sum(b * wx, axis=-1)
 
-    def bilin(z):
-        return ((at(z, y0, x0) * (1 - fx) + at(z, y0, x1) * fx) * (1 - fy)
-                + (at(z, y1, x0) * (1 - fx) + at(z, y1, x1) * fx) * fy)
-
-    return bilin(z0) * (1 - fz) + bilin(z1) * fz
+    return jnp.where(side, one_side(tex[1]), one_side(tex[0]))
 
 
 def _eta_coord(eta):
@@ -126,15 +135,10 @@ def sample_bsdf_energy_avg(luts, alpha, eta, entering):
 
 
 def _sample_2d_batched_side(tex, side, uy, ux):
-    """tex (2, Y, X) with per-element side select."""
-    y0, y1, fy = _lerp_axis(uy, tex.shape[1])
-    x0, x1, fx = _lerp_axis(ux, tex.shape[2])
-    v00 = tex[side, y0, x0]
-    v01 = tex[side, y0, x1]
-    v10 = tex[side, y1, x0]
-    v11 = tex[side, y1, x1]
-    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
-            + (v10 * (1 - fx) + v11 * fx) * fy)
+    """tex (2, Y, X) with per-element side select (weight contraction)."""
+    side_b = jnp.asarray(side, jnp.bool_)
+    return jnp.where(side_b, _sample_2d(tex[1], uy, ux),
+                     _sample_2d(tex[0], uy, ux))
 
 
 def save_luts(path, luts: BxDFLuts):
