@@ -67,6 +67,12 @@ def load_scene(spec):
 
     if spec.startswith("preset:"):
         name = spec.split(":", 1)[1]
+        if name.startswith("spheres"):
+            from ..scene.presets import sphere_grid
+
+            n = int(name.split("-")[1]) if "-" in name else 5
+            scene, cam = sphere_grid(n, n)
+            return scene, cam, None
         kind = "area"
         mats = "diffuse"
         if name.endswith("-point"):
