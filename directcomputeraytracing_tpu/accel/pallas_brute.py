@@ -245,7 +245,7 @@ def brute_any_pallas(scene, origin, direction, t_max, t_min=0.0,
 
 from .cluster import CLUSTER_SIZE  # noqa: E402
 
-CLUSTER_GROUP = 4    # clusters swept (predicated) per entered group
+CLUSTER_GROUP = 16   # clusters swept (predicated) per entered group
 
 
 def _pad_cluster_tables(scene):

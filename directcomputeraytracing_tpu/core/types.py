@@ -49,6 +49,11 @@ class SceneArrays(NamedTuple):
     # fixed 64-triangle slabs + per-cluster AABBs ((64,12)/(1,8) when unused)
     cluster_tris: jnp.ndarray    # (C*64, 12) f32
     cluster_bbox: jnp.ndarray    # (C, 8) f32 bmin|bmax|pad
+    # Packed shading tables: one gather per vertex corner / material row
+    # instead of one per attribute (gathers pay a fixed per-op cost on TPU)
+    vtx_table: jnp.ndarray       # (V, 12) f32 pos|nrm|tan|uv|pad
+    mat_table: jnp.ndarray       # (M, 16) f32 albedo|ior|rough|tiling|
+                                 #   opacity|flags|albedo_tex|opacity_tex|pad
     # Alpha-test data (reference: AnyHitShader, HitShader.inc.hlsl:86-113):
     # per leaf-ordered triangle base-material opacity, and per world
     # triangle the override-aware opacity (1.0 rows for opaque instances)

@@ -319,7 +319,9 @@ def flatten_scene(scene: Scene):
 
     total_world_tris = sum(
         scene.meshes[i.mesh].indices.shape[0] for i in scene.instances)
-    if total_world_tris <= 131072:
+    # the clustered kernels stream triangle slabs from HBM, so the only
+    # cost of world-space expansion is host memory (48 B/triangle)
+    if total_world_tris <= 1 << 20:
         wt, wm = [], []
         for ii, inst in enumerate(scene.instances):
             m = inst.mesh
@@ -344,6 +346,20 @@ def flatten_scene(scene: Scene):
 
     # clustered layout for the cull-and-sweep kernel: worth its indirection
     # once the flat sweep would visit thousands of triangles per ray
+    # packed shading tables (see core.types)
+    all_nrm = np.concatenate(vtx_nrm)
+    all_tan = np.concatenate(vtx_tan)
+    all_uv = np.concatenate(vtx_uv)
+    vtx_table = np.concatenate(
+        [all_pos, all_nrm, all_tan, all_uv,
+         np.zeros((all_pos.shape[0], 1), np.float32)], axis=1)
+    mat_table = np.concatenate(
+        [mat_albedo, mat_ior, mat_rough[:, None], mat_tiling,
+         mat_opacity[:, None], mat_flags.astype(np.float32)[:, None],
+         mat_atex.astype(np.float32)[:, None],
+         mat_otex.astype(np.float32)[:, None],
+         np.zeros((M, 3), np.float32)], axis=1)
+
     # per-triangle opacity tables for alpha-tested traversal
     tri_opacity = mat_opacity[material_ids.astype(np.int64)].astype(
         np.float32)
@@ -376,9 +392,9 @@ def flatten_scene(scene: Scene):
 
     arrays = SceneArrays(
         vtx_position=jnp.asarray(all_pos),
-        vtx_normal=jnp.asarray(np.concatenate(vtx_nrm)),
-        vtx_tangent=jnp.asarray(np.concatenate(vtx_tan)),
-        vtx_texcoord=jnp.asarray(np.concatenate(vtx_uv)),
+        vtx_normal=jnp.asarray(all_nrm),
+        vtx_tangent=jnp.asarray(all_tan),
+        vtx_texcoord=jnp.asarray(all_uv),
         triangles=jnp.asarray(triangles),
         node_bbox_min=jnp.asarray(two_level.bbox_min),
         node_bbox_max=jnp.asarray(two_level.bbox_max),
@@ -390,6 +406,8 @@ def flatten_scene(scene: Scene):
         world_tri_meta=jnp.asarray(world_tri_meta),
         cluster_tris=jnp.asarray(cluster_tris),
         cluster_bbox=jnp.asarray(cluster_bbox),
+        vtx_table=jnp.asarray(vtx_table),
+        mat_table=jnp.asarray(mat_table),
         tri_opacity=jnp.asarray(tri_opacity),
         world_tri_opacity=jnp.asarray(world_tri_opacity),
         instance_transforms=jnp.asarray(inst_tf),
@@ -416,6 +434,16 @@ def flatten_scene(scene: Scene):
         texture_sizes=jnp.asarray(sizes),
         env_texture=jnp.asarray(env, jnp.float32),
     )
+    from ..utils.log import logger
+
+    logger.info(
+        "scene flattened: %d meshes, %d instances, %d triangles, "
+        "%d BVH nodes (stack bound %d), %d materials, %d lights, "
+        "%d world tris, %d clusters",
+        len(scene.meshes), len(scene.instances), triangles.shape[0],
+        two_level.bbox_min.shape[0], int(two_level.max_stack),
+        M, len(lf), world_tris.shape[0], cluster_bbox.shape[0])
+
     meta = SceneMeta(
         stack_size=int(two_level.max_stack),
         light_count=len(lf),
