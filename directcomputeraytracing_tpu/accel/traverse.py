@@ -166,7 +166,8 @@ def _axis_component(vec, axis):
 
 
 def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
-              any_hit, watertight=False, opacity_u=None):
+              any_hit, watertight=False, opacity_u=None,
+              alpha_textures=False):
     tri_test = (ray_triangle_watertight if watertight
                 else ray_triangle_moeller)
     alpha_test = opacity_u is not None
@@ -300,6 +301,29 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
                              scene.mat_opacity.shape[0] - 1).astype(I32)]
                 opac = jnp.where(has_ov, ov_opacity,
                                  scene.tri_opacity[prim])
+                if alpha_textures:
+                    # reference: AnyHitShader samples the opacity
+                    # texture's R channel at the candidate hit UV
+                    # (HitShader.inc.hlsl:105-111)
+                    from ..integrator.common import sample_texture_atlas
+
+                    mat_id = jnp.where(
+                        has_ov, override,
+                        scene.material_ids[prim]).astype(I32)
+                    mat_id = jnp.clip(mat_id, 0,
+                                      scene.mat_opacity_tex.shape[0] - 1)
+                    otex = scene.mat_opacity_tex[mat_id]
+                    trix = scene.triangles[prim].astype(I32)
+                    uv0 = scene.vtx_table[trix[:, 0], 9:11]
+                    uv1 = scene.vtx_table[trix[:, 1], 9:11]
+                    uv2 = scene.vtx_table[trix[:, 2], 9:11]
+                    uvh = (uv0 + (uv1 - uv0) * u[..., None]
+                           + (uv2 - uv0) * v[..., None])
+                    uvh = uvh * scene.mat_tiling[mat_id]
+                    tex_o = sample_texture_atlas(
+                        scene.textures, scene.texture_sizes, otex,
+                        uvh)[..., 0]
+                    opac = opac * jnp.where(otex >= 0, tex_o, 1.0)
                 accept = accept & (opaque | (opacity_u < opac))
             if any_hit:
                 occluded = occluded | accept
@@ -446,11 +470,14 @@ def _resolve_backend(scene, backend):
 
 
 def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
-                      backend="auto", watertight=False, opacity_u=None):
+                      backend="auto", watertight=False, opacity_u=None,
+                      alpha_textures=False):
     """Closest-hit over the scene. origin/direction: (R, 3) f32.
     watertight selects the PBRT permute+shear triangle test (XLA backends
     only; the Pallas kernels use Moeller-Trumbore, so auto downgrades to
     'brute'/'jax' when watertight is requested)."""
+    if opacity_u is not None and alpha_textures:
+        backend = "jax"     # textured alpha test lives in the stack path
     if (watertight or opacity_u is not None) and backend in (
             "auto", "pallas", "pallas_cluster"):
         backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
@@ -478,7 +505,7 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                        iterations=jnp.zeros_like(tri))
     s = _traverse(scene, origin, direction, F32(t_min), jnp.inf,
                   stack_size, any_hit=False, watertight=watertight,
-                  opacity_u=opacity_u)
+                  opacity_u=opacity_u, alpha_textures=alpha_textures)
     return HitInfo(
         t=s.hit_t, u=s.hit_u, v=s.hit_v,
         triangle=s.hit_tri, instance=s.hit_inst, backface=s.hit_back,
@@ -487,8 +514,11 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
 
 
 def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
-                  backend="auto", watertight=False, opacity_u=None):
+                  backend="auto", watertight=False, opacity_u=None,
+                  alpha_textures=False):
     """Occlusion query: True where any hit exists in (t_min, t_max)."""
+    if opacity_u is not None and alpha_textures:
+        backend = "jax"
     if (watertight or opacity_u is not None) and backend in (
             "auto", "pallas", "pallas_cluster"):
         backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
@@ -510,5 +540,5 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
         return out[6]
     s = _traverse(scene, origin, direction, F32(t_min), t_max,
                   stack_size, any_hit=True, watertight=watertight,
-                  opacity_u=opacity_u)
+                  opacity_u=opacity_u, alpha_textures=alpha_textures)
     return s.occluded

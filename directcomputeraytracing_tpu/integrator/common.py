@@ -51,6 +51,9 @@ class RenderConfig:
     filter_type: str = "box"            # film reconstruction filter
     filter_radius: float = 0.5
     any_hit: bool = False               # alpha-tested transparency
+    any_hit_texture: bool = False       # opacity textures in the test
+    sort_bounce_rays: bool = False      # re-order secondary rays for
+                                        # block coherence (cluster kernel)
     watertight: bool = False            # PBRT watertight triangle test
 
     @property
@@ -216,3 +219,24 @@ def shade_hit(scene, origin, direction, hit):
         light_index=scene.instance_light_indices[hit.instance],
         triangle_index=hit.triangle,
     )
+
+
+def ray_sort_key(origin, direction, scene_lo, scene_inv_extent):
+    """Coherence sort key for secondary rays: 3-bit direction octant in
+    the high bits, 12-bit Morton cell of the origin below (the classic
+    wavefront ray-binning trick; the reference gets primary-ray coherence
+    from its thread-group layout and has no bounce sorting — this is a
+    TPU addition to keep cull-and-sweep blocks tight)."""
+    import jax.numpy as _jnp
+
+    oct_ = ((direction[:, 0] >= 0).astype(_jnp.uint32)
+            | ((direction[:, 1] >= 0).astype(_jnp.uint32) << 1)
+            | ((direction[:, 2] >= 0).astype(_jnp.uint32) << 2))
+    q = _jnp.clip((origin - scene_lo) * scene_inv_extent, 0.0, 0.999)
+    cell = (q * 16).astype(_jnp.uint32)          # 4 bits per axis
+    morton = _jnp.zeros_like(oct_)
+    for b in range(4):
+        for ax in range(3):
+            bit = (cell[:, ax] >> b) & 1
+            morton = morton | (bit << (3 * b + ax))
+    return (oct_ << 12) | morton

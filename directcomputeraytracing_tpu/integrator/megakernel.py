@@ -82,7 +82,8 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
     with jax.named_scope("primary_raycast"):
         hit = intersect_closest(scene, origin, wi, cfg.stack_size,
                                 backend=cfg.traversal_backend,
-                                watertight=cfg.watertight, opacity_u=ou)
+                                watertight=cfg.watertight, opacity_u=ou,
+                                alpha_textures=cfg.any_hit_texture)
     with jax.named_scope("shade_hit"):
         itx = shade_hit(scene, origin, wi, hit)
     itx = itx._replace(position=_sel(hit.hit, itx.position, origin))
@@ -132,7 +133,8 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
                                          ls.distance, cfg.stack_size,
                                          backend=cfg.traversal_backend,
                                          watertight=cfg.watertight,
-                                         opacity_u=ou_s)
+                                         opacity_u=ou_s,
+                                         alpha_textures=cfg.any_hit_texture)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))
@@ -166,10 +168,30 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
             # opacity sample -- keeps the wavefront stream identical
             rng, ou_e = _masked_1d(rng, alive)
         with jax.named_scope("extension_raycast"):
-            hit2 = intersect_closest(scene, ext_o, wi_new, cfg.stack_size,
-                                     backend=cfg.traversal_backend,
-                                     watertight=cfg.watertight,
-                                     opacity_u=ou_e)
+            if cfg.sort_bounce_rays:
+                from .common import ray_sort_key
+
+                lo = jnp.min(scene.node_bbox_min[0])  # root bbox proxy
+                root_lo = scene.node_bbox_min[0]
+                root_hi = scene.node_bbox_max[0]
+                inv_ext = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)
+                key = ray_sort_key(ext_o, wi_new, root_lo, inv_ext)
+                order = jnp.argsort(key)
+                hit2s = intersect_closest(
+                    scene, ext_o[order], wi_new[order], cfg.stack_size,
+                    backend=cfg.traversal_backend,
+                    watertight=cfg.watertight,
+                    opacity_u=None if ou_e is None else ou_e[order],
+                    alpha_textures=cfg.any_hit_texture)
+                inv_order = jnp.argsort(order)
+                hit2 = jax.tree.map(lambda a: a[inv_order], hit2s)
+            else:
+                hit2 = intersect_closest(
+                    scene, ext_o, wi_new, cfg.stack_size,
+                    backend=cfg.traversal_backend,
+                    watertight=cfg.watertight,
+                    opacity_u=ou_e,
+                    alpha_textures=cfg.any_hit_texture)
         with jax.named_scope("shade_hit"):
             itx2 = shade_hit(scene, ext_o, wi_new, hit2)
 

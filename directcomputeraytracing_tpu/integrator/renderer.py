@@ -48,14 +48,21 @@ class Renderer:
         env_idx = (self.meta.env_light_index
                    if self.meta.env_light_index != LIGHT_INDEX_INVALID
                    else -1)
-        self.cfg = RenderConfig(
+        cfg_kwargs = dict(
             width=width, height=height, max_bounce=max_bounce,
             stack_size=self.meta.stack_size,
             light_count=self.meta.light_count,
             env_light_index=env_idx,
             has_env_texture=self.meta.has_env_texture,
             any_hit=self.meta.any_non_opaque,
-            **cfg_overrides)
+            any_hit_texture=self.meta.any_opacity_texture,
+            # secondary-ray coherence sorting pays off when the clustered
+            # cull+sweep kernel is active (measured 1.4x on 36k tris)
+            sort_bounce_rays=(jax.default_backend() == "tpu"
+                              and int(self.arrays.cluster_bbox.shape[0])
+                              > 1))
+        cfg_kwargs.update(cfg_overrides)
+        self.cfg = RenderConfig(**cfg_kwargs)
         self.integrator = integrator
         self.filter_params = filter_params or FilterParams(
             kind=self.cfg.filter_type, radius=self.cfg.filter_radius)

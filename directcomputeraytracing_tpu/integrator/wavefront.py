@@ -155,7 +155,8 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
         hit = intersect_closest(
             scene, ray_o, ray_d, cfg.stack_size,
             backend=cfg.traversal_backend, watertight=cfg.watertight,
-            opacity_u=opacity_u if cfg.any_hit else None)
+            opacity_u=opacity_u if cfg.any_hit else None,
+            alpha_textures=cfg.any_hit_texture)
         itx = shade_hit(scene, ray_o, ray_d, hit)
         itx = itx._replace(position=_sel(hit.hit, itx.position, ray_o))
 
@@ -207,7 +208,8 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
                                      cfg.stack_size,
                                      backend=cfg.traversal_backend,
                                      watertight=cfg.watertight,
-                                     opacity_u=ou_s)
+                                     opacity_u=ou_s,
+                                         alpha_textures=cfg.any_hit_texture)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))

@@ -140,6 +140,7 @@ class SceneMeta(NamedTuple):
     env_light_index: int   # LIGHT_INDEX_INVALID if none
     has_env_texture: bool
     any_non_opaque: bool
+    any_opacity_texture: bool
 
 
 def compute_vertex_normals(positions, indices):
@@ -450,5 +451,6 @@ def flatten_scene(scene: Scene):
         env_light_index=int(env_light_index),
         has_env_texture=scene.env_texture is not None,
         any_non_opaque=any_non_opaque,
+        any_opacity_texture=bool((mat_otex >= 0).any()),
     )
     return arrays, meta

@@ -113,3 +113,55 @@ def test_wavefront_matches_megakernel_with_alpha():
     a, _ = _render(0.5, "megakernel", spp=4, seed0=11)
     b, _ = _render(0.5, "wavefront", spp=4, seed0=11)
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_opacity_texture_modulates_alpha_test():
+    """AnyHitShader parity: the opacity texture's R channel multiplies the
+    material opacity at the candidate hit UV."""
+    import numpy as np
+    import jax.numpy as jnp
+    from directcomputeraytracing_tpu.scene.presets import _quad
+    from directcomputeraytracing_tpu.scene.scene import (
+        Instance, Material, Mesh, PunctualLight, Scene, flatten_scene,
+    )
+
+    fp, fi = _quad([-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2])
+    floor = Mesh(positions=fp, indices=fi,
+                 material_ids=np.zeros(len(fi), np.int64))
+    pp, pi = _quad([-1, 1, -1], [-1, 1, 1], [1, 1, 1], [1, 1, -1])
+    panel = Mesh(positions=pp, indices=pi,
+                 material_ids=np.ones(len(pi), np.int64),
+                 texcoords=np.asarray([[0, 0], [0, 1], [1, 1], [1, 0]],
+                                      np.float32))
+    # half the texture fully transparent, half fully opaque
+    tex = np.ones((8, 8, 4), np.float32)
+    tex[:, :4, 0] = 0.0          # R channel = opacity
+    mats = [Material(albedo=(0.8,) * 3),
+            Material(albedo=(0.8,) * 3, opacity=1.0, opacity_texture=0)]
+    # opacity=1 but texture present: the scene must still count as
+    # non-opaque
+    scene = Scene(meshes=[floor, panel],
+                  instances=[Instance(mesh=0), Instance(mesh=1)],
+                  materials=mats, textures=[tex],
+                  lights=[PunctualLight(kind="point",
+                                        radiance=(10, 10, 10),
+                                        position=(0, 3, 0))])
+    arrays, meta = flatten_scene(scene)
+    assert meta.any_non_opaque and meta.any_opacity_texture
+
+    from directcomputeraytracing_tpu.accel.traverse import intersect_any
+
+    n = 4096
+    rng = np.random.default_rng(1)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = rng.uniform(-0.9, 0.9, n)
+    o[:, 1] = 0.01
+    o[:, 2] = rng.uniform(-0.9, 0.9, n)
+    d = np.tile(np.asarray([[0, 1, 0]], np.float32), (n, 1))
+    u = jnp.asarray(rng.random(n, dtype=np.float32))
+    occ = intersect_any(arrays, jnp.asarray(o), jnp.asarray(d),
+                        jnp.float32(2.5), meta.stack_size, backend="jax",
+                        opacity_u=u, alpha_textures=True)
+    rate = float(np.asarray(occ).mean())
+    # half the panel is transparent -> ~50% occlusion
+    assert abs(rate - 0.5) < 0.06, rate

@@ -102,3 +102,29 @@ def test_interval_cull_is_sound(grid_scene):
     assert (c >= e - 1e-6).all(), "conservative cull dropped a cluster"
     # and it should still cull a meaningful fraction on coherent blocks
     assert np.asarray(gcons).mean() <= 1.0
+
+
+def test_bounce_ray_sorting_is_invariant(grid_scene):
+    """sort_bounce_rays must not change the rendered values (pure
+    reorder + inverse permutation around the traversal)."""
+    import jax.numpy as jnp
+    from directcomputeraytracing_tpu.integrator.common import RenderConfig
+    from directcomputeraytracing_tpu.integrator.megakernel import (
+        full_frame_pixels, render_samples,
+    )
+    from directcomputeraytracing_tpu.lut.textures import placeholder_luts
+    from directcomputeraytracing_tpu.scene.presets import sphere_grid
+    from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+    scene, cam = sphere_grid(2, 2, stacks=8, slices=10)
+    arrays, meta = flatten_scene(scene)
+    luts = placeholder_luts()
+    base = dict(width=16, height=16, max_bounce=2,
+                stack_size=meta.stack_size, light_count=meta.light_count)
+    cfg_a = RenderConfig(**base)
+    cfg_b = RenderConfig(**base, sort_bounce_rays=True)
+    px, py = full_frame_pixels(cfg_a)
+    _, va = render_samples(arrays, luts, cam, cfg_a, px, py, jnp.uint32(3))
+    _, vb = render_samples(arrays, luts, cam, cfg_b, px, py, jnp.uint32(3))
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                               rtol=1e-6, atol=1e-7)
