@@ -99,15 +99,16 @@ def cornell_box(light="area", material_set="diffuse"):
                              ior=(0.143, 0.375, 1.44),
                              mtype=MATERIAL_TYPE_CONDUCTOR,
                              k=(3.983, 2.386, 1.603),
-                             roughness=0.25, name="metal"))
+                             roughness=0.25, multiscattering=True,
+                             name="metal"))
         mats.append(Material(albedo=(0.2, 0.3, 0.7), ior=(1.5, 1.5, 1.5),
                              mtype=MATERIAL_TYPE_PLASTIC, roughness=0.15,
-                             name="plastic"))
+                             multiscattering=True, name="plastic"))
         tall_mat, short_mat = 3, 4
     elif material_set == "dielectric":
         mats.append(Material(albedo=(1.0, 1.0, 1.0), ior=(1.5, 1.5, 1.5),
                              mtype=MATERIAL_TYPE_DIELECTRIC, roughness=0.1,
-                             name="glass"))
+                             multiscattering=True, name="glass"))
         tall_mat, short_mat = 3, 0
     else:
         raise ValueError(material_set)

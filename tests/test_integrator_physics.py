@@ -87,3 +87,52 @@ def test_white_furnace(furnace):
     # no pixel should exceed 1 by much or collapse to 0
     assert img.mean(axis=-1).min() > 0.6
     assert img.max() < 1.6
+
+
+def test_thin_lens_bokeh_render():
+    """Thin-lens + polygonal bokeh camera renders finite, nonzero images
+    and produces defocus (variance differs from the pinhole render)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from directcomputeraytracing_tpu.scene.presets import cornell_box
+    from directcomputeraytracing_tpu.scene.scene import flatten_scene
+    from directcomputeraytracing_tpu.camera.camera import look_at_transform
+    from directcomputeraytracing_tpu.core.types import CameraParams
+    from directcomputeraytracing_tpu.integrator.megakernel import (
+        full_frame_pixels, render_samples,
+    )
+    from directcomputeraytracing_tpu.lut.textures import placeholder_luts
+
+    scene, _ = cornell_box(light="point")
+    arrays, meta = flatten_scene(scene)
+    tf = look_at_transform((0.0, 1.0, -3.6), (0.0, 1.0, 0.0))
+    pin = CameraParams.create(transform=tf, fov_x=np.deg2rad(38.0),
+                              focal_distance=3.6)
+    lens = CameraParams.create(transform=tf, fov_x=np.deg2rad(38.0),
+                               aperture_radius=0.15, focal_distance=2.0,
+                               blade_count=6)
+    from directcomputeraytracing_tpu.integrator.common import RenderConfig
+
+    cfg = RenderConfig(width=24, height=24, max_bounce=1,
+                       stack_size=meta.stack_size,
+                       light_count=meta.light_count)
+    px, py = full_frame_pixels(cfg)
+    luts = placeholder_luts()
+
+    def render(cam, spp=8):
+        acc = 0.0
+        for s in range(spp):
+            _, v = render_samples(arrays, luts, cam, cfg, px, py,
+                                  jnp.uint32(s))
+            acc = acc + np.asarray(v)
+        return (acc / spp).reshape(24, 24, 3)
+
+    a = render(pin)
+    b = render(lens)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert a.max() > 0 and b.max() > 0
+    # defocus blurs edges: high-frequency energy (gradient magnitude)
+    # must drop with the wide aperture focused off the walls
+    ga = np.abs(np.diff(a.mean(-1), axis=1)).mean()
+    gb = np.abs(np.diff(b.mean(-1), axis=1)).mean()
+    assert gb < ga
