@@ -251,7 +251,9 @@ CLUSTER_GROUP = 16   # clusters swept (predicated) per entered group
 def _pad_cluster_tables(scene):
     """Pad cluster tables to a CLUSTER_GROUP multiple; padding clusters
     get inverted (never-hit) bboxes. Returns (ctab, cbox_vec, n_groups)
-    with cbox_vec (8, Cpad) f32 transposed + 128-lane padded."""
+    with ctab column-padded to 128 (manual HBM->VMEM DMA slices must be
+    lane-aligned) and cbox_vec (8, Cpad) f32 transposed + 128-lane
+    padded."""
     ctab = scene.cluster_tris
     cbox = scene.cluster_bbox
     c = cbox.shape[0]
@@ -259,6 +261,7 @@ def _pad_cluster_tables(scene):
     cpad = -(-cg // 128) * 128
     if cg != c:
         ctab = jnp.pad(ctab, ((0, (cg - c) * CLUSTER_SIZE), (0, 0)))
+    ctab = jnp.pad(ctab, ((0, 0), (0, 128 - ctab.shape[1])))
     if cpad != c:
         pad_rows = jnp.tile(jnp.asarray(
             [[1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 0.0, 0.0]], cbox.dtype),
@@ -356,7 +359,8 @@ def _cull_masks(scene_ctab_cbox, o, d, interpret=False):
 
 def _clustered_closest_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
                               tmin_ref, out_ref, t_scr, u_scr, v_scr,
-                              tri_scr, inst_scr, back_scr):
+                              tri_scr, inst_scr, back_scr, ctab_vmem,
+                              dma_sem):
     k = pl.program_id(1)
     n_k = pl.num_programs(1)
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
@@ -375,6 +379,14 @@ def _clustered_closest_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
 
     @pl.when(gmask_ref[0, 0, 0, 0] > 0.0)
     def _():
+        # the group's triangle slab lives in HBM; skipped groups never
+        # touch it — only entered groups pay the DMA
+        dma = pltpu.make_async_copy(
+            ctab_ref.at[pl.ds(k * CLUSTER_GROUP * CLUSTER_SIZE,
+                              CLUSTER_GROUP * CLUSTER_SIZE), :],
+            ctab_vmem, dma_sem)
+        dma.start()
+        dma.wait()
         rows = jax.lax.broadcasted_iota(I32, (CLUSTER_SIZE, rb), 0)
 
         def group_body(g, _):
@@ -384,7 +396,7 @@ def _clustered_closest_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
             def _():
                 base = pl.multiple_of(g * CLUSTER_SIZE, CLUSTER_SIZE)
                 t, u, v, back, ok = _moeller_slab(
-                    ctab_ref, base, ox, oy, oz, dx, dy, dz, t_min, t_b,
+                    ctab_vmem, base, ox, oy, oz, dx, dy, dz, t_min, t_b,
                     slab=CLUSTER_SIZE)
                 tm = jnp.where(ok, t, BIG)
                 slab_min = jnp.min(tm, axis=0, keepdims=True)
@@ -397,9 +409,9 @@ def _clustered_closest_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
                     return jnp.sum(jnp.where(jm, x, 0.0), axis=0,
                                    keepdims=True)
 
-                tri = ctab_ref[pl.ds(base, CLUSTER_SIZE), 9:10]
-                inst = ctab_ref[pl.ds(base, CLUSTER_SIZE), 10:11]
-                flip = ctab_ref[pl.ds(base, CLUSTER_SIZE), 11:12]
+                tri = ctab_vmem[pl.ds(base, CLUSTER_SIZE), 9:10]
+                inst = ctab_vmem[pl.ds(base, CLUSTER_SIZE), 10:11]
+                flip = ctab_vmem[pl.ds(base, CLUSTER_SIZE), 11:12]
                 back_f = jnp.where(back ^ (flip > 0.5), 1.0, 0.0)
                 t_scr[:] = jnp.where(better, slab_min, t_b)
                 u_scr[:] = jnp.where(better, pick(u), u_scr[:])
@@ -429,7 +441,8 @@ def _clustered_closest_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
 
 
 def _clustered_any_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
-                          tmax_ref, tmin_ref, occ_ref, occ_scr):
+                          tmax_ref, tmin_ref, occ_ref, occ_scr, ctab_vmem,
+                          dma_sem):
     k = pl.program_id(1)
     n_k = pl.num_programs(1)
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
@@ -444,12 +457,19 @@ def _clustered_any_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
 
     @pl.when(gmask_ref[0, 0, 0, 0] > 0.0)
     def _():
+        dma = pltpu.make_async_copy(
+            ctab_ref.at[pl.ds(k * CLUSTER_GROUP * CLUSTER_SIZE,
+                              CLUSTER_GROUP * CLUSTER_SIZE), :],
+            ctab_vmem, dma_sem)
+        dma.start()
+        dma.wait()
+
         def group_body(g, _):
             @pl.when(cmask_ref[0, 0, 0, g] > 0.0)
             def _():
                 base = pl.multiple_of(g * CLUSTER_SIZE, CLUSTER_SIZE)
                 _, _, _, _, ok = _moeller_slab(
-                    ctab_ref, base, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                    ctab_vmem, base, ox, oy, oz, dx, dy, dz, t_min, t_max,
                     slab=CLUSTER_SIZE)
                 hit = jnp.any(ok, axis=0, keepdims=True)
                 occ_scr[:] = jnp.maximum(occ_scr[:],
@@ -483,9 +503,7 @@ def clustered_closest_pallas(scene, origin, direction, t_min=0.0,
         _clustered_closest_kernel,
         grid=(rp // RAY_BLOCK, n_groups),
         in_specs=[
-            pl.BlockSpec((CLUSTER_GROUP * CLUSTER_SIZE, 12),
-                         lambda i, k: (k, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, 1, CLUSTER_GROUP),
                          lambda i, k: (i, k, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -498,7 +516,9 @@ def clustered_closest_pallas(scene, origin, direction, t_min=0.0,
         out_specs=pl.BlockSpec((6, RAY_BLOCK), lambda i, k: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((6, rp), F32),
-        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), F32)] * 6,
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), F32)] * 6
+        + [pltpu.VMEM((CLUSTER_GROUP * CLUSTER_SIZE, 128), F32),
+           pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(ctab,
       cmask[:, :n_groups * CLUSTER_GROUP].reshape(
@@ -531,9 +551,7 @@ def clustered_any_pallas(scene, origin, direction, t_max, t_min=0.0,
         _clustered_any_kernel,
         grid=(rp // RAY_BLOCK, n_groups),
         in_specs=[
-            pl.BlockSpec((CLUSTER_GROUP * CLUSTER_SIZE, 12),
-                         lambda i, k: (k, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, 1, CLUSTER_GROUP),
                          lambda i, k: (i, k, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -545,7 +563,10 @@ def clustered_any_pallas(scene, origin, direction, t_max, t_min=0.0,
         ],
         out_specs=col_spec,
         out_shape=jax.ShapeDtypeStruct((1, rp), jnp.bool_),
-        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), F32)],
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), F32),
+                        pltpu.VMEM((CLUSTER_GROUP * CLUSTER_SIZE, 128),
+                                   F32),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(ctab,
       cmask[:, :n_groups * CLUSTER_GROUP].reshape(
