@@ -23,8 +23,10 @@ def build_parser():
                     "(DirectComputeRayTracing capability rebuild)")
     p.add_argument("scene", help=".obj or Mitsuba .xml scene file, or "
                    "preset:cornell[-glossy|-dielectric|-point]")
-    p.add_argument("--resx", type=int, default=1280)   # reference default
-    p.add_argument("--resy", type=int, default=720)
+    p.add_argument("--resx", type=int, default=None,
+                   help="default 1280, unless the scene XML sets a film "
+                        "size (reference default, CommandLineArgs.cpp)")
+    p.add_argument("--resy", type=int, default=None)
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--max-bounce", type=int, default=None,
                    help="override scene/integrator bounce cap")
@@ -118,12 +120,18 @@ def main(argv=None):
     max_bounce = args.max_bounce
     filter_type = args.filter_type
     if settings is not None:
-        if args.resx == 1280 and args.resy == 720:
-            width, height = settings.width, settings.height
+        if width is None:
+            width = settings.width
+        if height is None:
+            height = settings.height
         if max_bounce is None:
             max_bounce = max(settings.max_depth - 1, 0)
         if filter_type is None:
             filter_type = settings.filter_type
+    if width is None:
+        width = 1280
+    if height is None:
+        height = 720
     if max_bounce is None:
         max_bounce = 4
     if filter_type is None:
@@ -163,7 +171,8 @@ def main(argv=None):
                       else (0.5 if filter_type == "box" else 2.0))
     pp = PostParams(enabled=not args.no_post,
                     auto_exposure=args.manual_ev100 is None,
-                    manual_ev100=args.manual_ev100 or 15.0)
+                    manual_ev100=15.0 if args.manual_ev100 is None
+                    else args.manual_ev100)
     r = Renderer(scene, cam, width=width, height=height,
                  max_bounce=max_bounce, luts=luts,
                  integrator=args.integrator, filter_params=fp,

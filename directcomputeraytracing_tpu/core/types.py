@@ -37,7 +37,7 @@ class SceneArrays(NamedTuple):
     node_misc: jnp.ndarray     # (N,) u32
     # Gather-friendly packed tables (one fetch per traversal step):
     # [bbox_min(3), bbox_max(3), right_or_prim, misc] — indices stored as
-    # f32 (exact below 2^24; scenes larger than that use the split arrays)
+    # f32 (exact below 2^24; flatten_scene rejects larger scenes)
     node_table: jnp.ndarray    # (N, 8) f32
     tri_verts: jnp.ndarray     # (T, 9) f32 leaf-ordered v0|v1|v2, local space
     # Dense world-space triangle soup for the small-scene brute-force path

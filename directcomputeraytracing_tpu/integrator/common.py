@@ -47,7 +47,6 @@ class RenderConfig:
     light_visible: bool = True          # env/mesh lights visible to camera
     use_vndf: bool = True
     traversal_backend: str = "auto"     # auto|jax|brute|pallas|pallas_cluster
-    tile_size: int = 0                  # 0 = whole image per dispatch
     filter_type: str = "box"            # film reconstruction filter
     filter_radius: float = 0.5
     any_hit: bool = False               # alpha-tested transparency

@@ -171,7 +171,6 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
             if cfg.sort_bounce_rays:
                 from .common import ray_sort_key
 
-                lo = jnp.min(scene.node_bbox_min[0])  # root bbox proxy
                 root_lo = scene.node_bbox_min[0]
                 root_hi = scene.node_bbox_max[0]
                 inv_ext = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)

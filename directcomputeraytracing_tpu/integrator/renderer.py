@@ -44,7 +44,21 @@ class Renderer:
                  post_params=None, **cfg_overrides):
         self.arrays, self.meta = flatten_scene(scene)
         self.camera = camera
-        self.luts = luts if luts is not None else placeholder_luts()
+        if luts is None:
+            # Placeholder (unit-energy) LUTs silently zero the plastic
+            # diffuse lobe (dispatch.py weight math), so bake real energy
+            # LUTs whenever any material needs them. The committed .npz
+            # cache makes this instant after the first call (lut/bake.py).
+            from ..core.constants import MATERIAL_TYPE_DIFFUSE
+
+            if any(m.mtype != MATERIAL_TYPE_DIFFUSE
+                   for m in scene.materials):
+                from ..lut.bake import bake_luts_cached
+
+                luts = bake_luts_cached()
+            else:
+                luts = placeholder_luts()
+        self.luts = luts
         env_idx = (self.meta.env_light_index
                    if self.meta.env_light_index != LIGHT_INDEX_INVALID
                    else -1)
@@ -171,10 +185,25 @@ class Renderer:
         return np.asarray(acc).reshape(ph, pw, 3) / spp
 
     def postprocessed(self):
-        """Display-ready sRGB image through the exposure/tonemap chain."""
-        pinhole = bool(np.asarray(self.camera.aperture_radius) == 0.0)
+        """Display-ready sRGB image through the exposure/tonemap chain.
+
+        For a thin-lens camera the EV100 relative aperture is derived
+        from the camera itself (reference: Scene.cpp:844-847 derives the
+        aperture diameter as focal_length / relative_aperture, so
+        N = f / (2 * aperture_radius); f recovers from the Gaussian lens
+        equation that produced film_distance)."""
+        radius = float(np.asarray(self.camera.aperture_radius))
+        pinhole = radius == 0.0
+        params = self.post_params
+        if not pinhole and params.ev100_from_camera:
+            fd = float(np.asarray(self.camera.film_distance))
+            s = float(np.asarray(self.camera.focal_distance))
+            if s > fd > 0.0:
+                f = fd * s / (s - fd)
+                params = params._replace(
+                    relative_aperture=f / (2.0 * radius))
         return np.asarray(post_process(self.film.value, self.film.weight,
-                                       self.post_params,
+                                       params,
                                        aperture_is_pinhole=pinhole))
 
     # ---- checkpoint / resume (SURVEY.md §5: absent in the reference) ----

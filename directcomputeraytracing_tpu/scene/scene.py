@@ -312,6 +312,17 @@ def flatten_scene(scene: Scene):
 
     # --- packed per-step fetch tables + small-scene world-space soup
     all_pos = np.concatenate(vtx_pos)
+    # The packed table stores the u32 node fields as f32, which is exact
+    # only below 2^24; traversal always reads the packed table, so larger
+    # payloads (right_or_prim holds child/leaf indices; TLAS-leaf misc is
+    # (instance<<3)|flags) would silently round and mis-traverse.
+    if (two_level.right_or_prim.max(initial=0) >= (1 << 24)
+            or two_level.misc.max(initial=0) >= (1 << 24)):
+        raise ValueError(
+            "scene too large for the packed f32 node table: a node index "
+            "field exceeds 2^24 (>=2^21 instances or >=16.7M leaf-ordered "
+            "triangles); split the scene or file an issue for the "
+            "split-array traversal fallback")
     node_table = np.concatenate(
         [two_level.bbox_min, two_level.bbox_max,
          two_level.right_or_prim.astype(np.float32)[:, None],

@@ -372,6 +372,9 @@ def load_mitsuba_xml(path):
                 for m in sub.meshes:
                     m.positions[:, 0] = -m.positions[:, 0]
                     m.normals[:, 0] = -m.normals[:, 0]
+                    # tangents were derived from the flipped positions;
+                    # keep the frame consistent under the un-flip
+                    m.tangents[:, 0] = -m.tangents[:, 0]
                 mesh_idx = len(scene.meshes)
                 merged = _merge_meshes(sub.meshes)
                 scene.meshes.append(merged)
