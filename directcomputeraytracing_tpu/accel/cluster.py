@@ -16,15 +16,20 @@ vector machine).
 
 import numpy as np
 
-CLUSTER_SIZE = 64
+# Small clusters keep the exact sweep close to the rays' true needs:
+# measured on v5e, 64-tri clusters made bundle sweeps test ~2700
+# triangles per ray where ~3 suffice; 16-tri clusters cut the tested
+# set ~5x for the same cull cost class.
+CLUSTER_SIZE = 16
 
 
 def build_clusters(world_tris, world_tri_meta, cluster_size=CLUSTER_SIZE):
-    """Returns (padded_tris (C*S, 12), cluster_bbox (C, 8)).
+    """Returns (padded_tris (C*S, 13), cluster_bbox (C, 8)).
 
-    padded_tris rows: v0|v1|v2 xyz, tri id, instance id, winding flip
-    (matching pallas_brute's table layout); cluster_bbox rows:
-    bmin xyz, bmax xyz, pad, pad.
+    padded_tris rows: v0|v1|v2 xyz, tri id, instance id, winding flip,
+    world-soup row (cols 0..12; pallas_brute reads 0..11, the work-list
+    sweep also reads col 12); cluster_bbox rows: bmin xyz, bmax xyz,
+    pad, pad.
     """
     tris = np.asarray(world_tris, np.float32)
     meta = np.asarray(world_tri_meta, np.float32)
@@ -48,10 +53,12 @@ def build_clusters(world_tris, world_tri_meta, cluster_size=CLUSTER_SIZE):
     split(np.arange(n))
 
     c_count = len(clusters)
-    tab = np.zeros((c_count * cluster_size, 12), np.float32)
+    tab = np.zeros((c_count * cluster_size, 13), np.float32)
     bbox = np.zeros((c_count, 8), np.float32)
     for k, idx in enumerate(clusters):
-        rows = np.concatenate([tris[idx], meta[idx]], axis=1)
+        rows = np.concatenate(
+            [tris[idx], meta[idx], idx[:, None].astype(np.float32)],
+            axis=1)
         tab[k * cluster_size: k * cluster_size + idx.size] = rows
         vv = v[idx]
         bbox[k, 0:3] = vv.min(axis=(0, 1))

@@ -463,10 +463,15 @@ def _resolve_backend(scene, backend):
         # to be the CPU default). Clustered cull-and-sweep once the scene
         # provides the cluster tables (flatten_scene: > 2048 tris).
         if jax.default_backend() == "tpu":
-            return ("pallas_cluster" if scene.cluster_bbox.shape[0] > 1
+            return ("pallas_wl" if scene.cluster_bbox.shape[0] > 1
                     else "pallas")
         return "brute"
     return "jax"
+
+
+_PALLAS_BACKENDS = ("pallas", "pallas_interpret", "pallas_cluster",
+                    "pallas_cluster_interpret", "pallas_wl",
+                    "pallas_wl_interpret")
 
 
 def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
@@ -479,13 +484,16 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
     if opacity_u is not None and alpha_textures:
         backend = "jax"     # textured alpha test lives in the stack path
     if (watertight or opacity_u is not None) and backend in (
-            "auto", "pallas", "pallas_cluster"):
+            "auto", "pallas", "pallas_cluster", "pallas_wl"):
         backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
-    if backend in ("pallas", "pallas_interpret", "pallas_cluster",
-                   "pallas_cluster_interpret"):
+    if backend in _PALLAS_BACKENDS:
         interp = backend.endswith("interpret")
-        if backend.startswith("pallas_cluster"):
+        if backend.startswith("pallas_wl"):
+            from .worklist import worklist_closest_pallas
+            t, u, v, tri, inst, back = worklist_closest_pallas(
+                scene, origin, direction, t_min, interpret=interp)
+        elif backend.startswith("pallas_cluster"):
             from .pallas_brute import clustered_closest_pallas
             t, u, v, tri, inst, back = clustered_closest_pallas(
                 scene, origin, direction, t_min, interpret=interp)
@@ -520,12 +528,15 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
     if opacity_u is not None and alpha_textures:
         backend = "jax"
     if (watertight or opacity_u is not None) and backend in (
-            "auto", "pallas", "pallas_cluster"):
+            "auto", "pallas", "pallas_cluster", "pallas_wl"):
         backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
-    if backend in ("pallas", "pallas_interpret", "pallas_cluster",
-                   "pallas_cluster_interpret"):
+    if backend in _PALLAS_BACKENDS:
         interp = backend.endswith("interpret")
+        if backend.startswith("pallas_wl"):
+            from .worklist import worklist_any_pallas
+            return worklist_any_pallas(scene, origin, direction, t_max,
+                                       t_min, interpret=interp)
         if backend.startswith("pallas_cluster"):
             from .pallas_brute import clustered_any_pallas
             return clustered_any_pallas(scene, origin, direction, t_max,

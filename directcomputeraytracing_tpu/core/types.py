@@ -47,7 +47,7 @@ class SceneArrays(NamedTuple):
                                  #             winding flip (det<0)]
     # Clustered layout for the cull-and-sweep kernel (mid-size scenes):
     # fixed 64-triangle slabs + per-cluster AABBs ((64,12)/(1,8) when unused)
-    cluster_tris: jnp.ndarray    # (C*64, 12) f32
+    cluster_tris: jnp.ndarray    # (C*S, 13) f32 (S = cluster.CLUSTER_SIZE)
     cluster_bbox: jnp.ndarray    # (C, 8) f32 bmin|bmax|pad
     # Packed shading tables: one gather per vertex corner / material row
     # instead of one per attribute (gathers pay a fixed per-op cost on TPU)

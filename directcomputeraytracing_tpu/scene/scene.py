@@ -394,12 +394,14 @@ def flatten_scene(scene: Scene):
         world_tri_opacity = np.ones(1, np.float32)
 
     if 2048 < world_tris.shape[0]:
-        from ..accel.cluster import build_clusters
+        from ..accel.cluster import CLUSTER_SIZE, build_clusters
 
         cluster_tris, cluster_bbox = build_clusters(world_tris,
                                                     world_tri_meta)
     else:
-        cluster_tris = np.zeros((64, 12), np.float32)
+        from ..accel.cluster import CLUSTER_SIZE
+
+        cluster_tris = np.zeros((CLUSTER_SIZE, 13), np.float32)
         cluster_bbox = np.zeros((1, 8), np.float32)
 
     arrays = SceneArrays(

@@ -32,7 +32,10 @@ def test_cluster_build_invariants():
                     axis=1).astype(np.float32)
     tab, bbox = build_clusters(tris, meta)
     c = bbox.shape[0]
-    assert tab.shape == (c * CLUSTER_SIZE, 12)
+    assert tab.shape == (c * CLUSTER_SIZE, 13)
+    # col 12 = world-soup row of each live entry
+    live = np.abs(tab[:, 0:9]).sum(1) > 0
+    assert (tab[live, 12] == tab[live, 9]).all()  # meta[:,0]==arange here
     # every input triangle appears exactly once
     ids = tab[:, 9][np.abs(tab[:, 0:9]).sum(1) > 0]
     assert sorted(ids.astype(int).tolist()) == list(range(n))

@@ -1,0 +1,111 @@
+"""Hierarchical work-list traversal: interpret-mode agreement with the
+stack walker, soundness of the two-level cull, and the overflow
+fallback."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from directcomputeraytracing_tpu.accel import worklist as wl
+from directcomputeraytracing_tpu.accel.traverse import (
+    intersect_any, intersect_closest,
+)
+from directcomputeraytracing_tpu.scene.presets import sphere_grid
+from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+
+@pytest.fixture(scope="module")
+def grid_scene():
+    scene, cam = sphere_grid(3, 3, stacks=12, slices=16)
+    arrays, meta = flatten_scene(scene)
+    assert arrays.cluster_bbox.shape[0] > 1
+    return arrays, meta
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 4.0, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_worklist_closest_matches_stack_traversal(grid_scene):
+    arrays, meta = grid_scene
+    o, d = _rays(256)
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax")
+    b = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wl_interpret")
+    m = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(b.hit), m)
+    assert m.sum() > 40
+    np.testing.assert_allclose(np.asarray(b.t)[m], np.asarray(a.t)[m],
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(b.triangle)[m] == np.asarray(a.triangle)[m]).all()
+    assert (np.asarray(b.instance)[m] == np.asarray(a.instance)[m]).all()
+    bb = np.asarray(b.backface)[m]
+    ab = np.asarray(a.backface)[m]
+    assert (bb == ab).mean() > 0.99  # grazing-edge sign flips only
+    uu, vv = np.asarray(b.u)[m], np.asarray(b.v)[m]
+    np.testing.assert_allclose(uu, np.asarray(a.u)[m], rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(vv, np.asarray(a.v)[m], rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_worklist_anyhit_matches(grid_scene):
+    arrays, meta = grid_scene
+    o, d = _rays(256, seed=2)
+    a = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="jax")
+    b = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="pallas_wl_interpret")
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_worklist_tmax_cull_is_exactly_occlusion(grid_scene):
+    """Shadow-style short rays: the t_max-aware cull must not change
+    results vs the unbounded-cull stack walker."""
+    arrays, meta = grid_scene
+    o, d = _rays(256, seed=5)
+    for tmax in (0.25, 1.0):
+        a = intersect_any(arrays, o, d, jnp.float32(tmax),
+                          meta.stack_size, backend="jax")
+        b = intersect_any(arrays, o, d, jnp.float32(tmax),
+                          meta.stack_size, backend="pallas_wl_interpret")
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_worklist_overflow_falls_back(grid_scene, monkeypatch):
+    """With a tiny chunk capacity the lax.cond must route to the dense
+    fallback kernel and still produce exact results."""
+    arrays, meta = grid_scene
+    monkeypatch.setattr(wl, "MAX_CHUNKS", 8)
+    o, d = _rays(192, seed=7)   # unique shape -> fresh trace sees patch
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax")
+    b = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wl_interpret")
+    m = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(b.hit), m)
+    np.testing.assert_allclose(np.asarray(b.t)[m], np.asarray(a.t)[m],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_super_cull_is_sound(grid_scene):
+    """The conservative bundle-vs-supercluster cull must never drop a
+    supercluster the exact per-ray test enters."""
+    arrays, meta = grid_scene
+    o, d = _rays(4 * wl.RB, seed=9)
+    od, _ = wl._prep_rays_wl(o, d)
+    _, _, sbox_vec, cpad, cs = wl._pad_tables(arrays)
+    nb = od.shape[1] // wl.RB
+    tcap = jnp.full((nb, 1), wl.BIG, jnp.float32)
+    cons = wl._cull_tlo(sbox_vec, od, tcap, interpret=True)
+    exact = wl._exact_tlo_super(arrays, od, tcap, sbox_vec.T[:cs],
+                                sbox_vec.shape[1])
+    c = np.asarray(cons)
+    e = np.asarray(exact)
+    # conservative entry must be <= exact entry wherever exact enters
+    entered = e < wl.BIG
+    assert (c[entered] <= e[entered] + 1e-4).all()
