@@ -1,4 +1,4 @@
-"""Marginal on-device cost per phase of the hierarchical worklist."""
+"""Marginal on-device cost per phase of the fused worklist traversal."""
 
 import time
 
@@ -43,30 +43,28 @@ def main():
                        stack_size=meta.stack_size,
                        light_count=meta.light_count)
     odpair = rays_for(cam, cfg)
-    od, r = wl._prep_rays_wl(*odpair)
-    od = jax.block_until_ready(od)
+    od, odt, _, r = wl._prep_rays_wl(*odpair)
+    od, odt = jax.block_until_ready((od, odt))
     nb = od.shape[1] // wl.RB
-    ctab, cbox, sbox_vec, cpad, cs = wl._pad_tables(arrays)
-    cap_s, cap = wl._capacities(nb, cs, cpad)
+    ctab, cbox3, sboxv, cpad, cs = wl._pad_tables(arrays)
+    cap_s = wl._capacity(nb, cs)
     print(f"tris={arrays.world_tris.shape[0]} blocks={nb} "
-          f"clusters={cpad} supers={cs} cap_s={cap_s} cap={cap}")
-    tcap = jnp.full((nb,), wl.BIG, jnp.float32)
+          f"clusters={cpad} supers={cs} cap_s={cap_s}")
 
     def mk_cull(k):
         @jax.jit
-        def f(od):
+        def f(odt):
             acc = 0.0
             for j in range(k):
-                acc = acc + wl._cull_tlo(sbox_vec, od + 1e-7 * j,
-                                         tcap[:, None])
+                acc = acc + wl._cull_super(sboxv, odt + 1e-7 * j)
             return acc
         return f
 
-    dm, _ = marginal(mk_cull, od)
+    dm, _ = marginal(mk_cull, odt)
     print(f"A coarse cull: {dm*1e3:.2f} ms")
 
     tlo_s = jax.block_until_ready(
-        jax.jit(lambda od: wl._cull_tlo(sbox_vec, od, tcap[:, None]))(od))
+        jax.jit(lambda odt: wl._cull_super(sboxv, odt))(odt))
 
     def mk_cc(k):
         @jax.jit
@@ -80,33 +78,12 @@ def main():
     dm, _ = marginal(mk_cc, tlo_s)
     print(f"B coarse compact: {dm*1e3:.2f} ms")
 
-    blk, sup, valid_s, total_s, _ = jax.jit(
+    bf, sup, t_ent, total_s, block_any = jax.jit(
         lambda t: wl._compact_coarse(t, cs, cap_s))(tlo_s)
-    print(f"  coarse items: {int(total_s)}")
-    bnds = jax.jit(wl._bundle_bounds)(od)
-
-    def mk_fc(k):
-        @jax.jit
-        def f(blk, sup):
-            acc = 0
-            for j in range(k):
-                out = wl._fine_and_chunk(cbox, blk + j * 0, sup, valid_s,
-                                         bnds + 1e-7 * j, tcap, cpad,
-                                         cap, cpad)
-                acc = acc + out[0] + out[1][:cap] + out[2]
-            return acc
-        return f
-
-    dm, _ = marginal(mk_fc, blk, sup)
-    print(f"C+D fine cull+chunk: {dm*1e3:.2f} ms")
-
-    out = jax.jit(lambda blk, sup: wl._fine_and_chunk(
-        cbox, blk, sup, valid_s, bnds, tcap, cpad, cap, cpad))(blk, sup)
-    total = int(out[3])
-    bfh = np.asarray(out[0])[:total]
-    blocks = (bfh >> 2) & 0x3FFF
+    total = int(total_s)
+    blocks = (np.asarray(bf)[:total] >> 2) & 0x3FFF
     per = np.bincount(blocks, minlength=nb)
-    print(f"  chunks: {total} ({per.mean():.1f}/block, "
+    print(f"  coarse items: {total} ({per.mean():.1f}/block, "
           f"max {per.max()})")
 
     def mk_full(k):
@@ -120,10 +97,24 @@ def main():
         return f
 
     dm, t1 = marginal(mk_full, *odpair)
-    print(f"FULL: marginal={dm*1e3:.2f} ms (1x {t1*1e3:.1f}) -> "
-          f"{r/dm/1e6:.1f} Mrays/s device  "
-          f"sweep≈{dm*1e3:.1f}ms-total-above, "
-          f"{dm/max(total,1)*1e9:.0f} ns/chunk upper bound")
+    print(f"FULL closest: marginal={dm*1e3:.2f} ms (1x {t1*1e3:.1f}) -> "
+          f"{r/dm/1e6:.1f} Mrays/s device, "
+          f"{dm/max(total,1)*1e9:.0f} ns/item upper bound")
+
+    def mk_any(k):
+        @jax.jit
+        def f(po, pd):
+            acc = 0.0
+            for j in range(k):
+                acc = acc + wl.worklist_any_pallas(
+                    arrays, po + 1e-7 * j, pd, jnp.inf).astype(
+                    jnp.float32)
+            return acc
+        return f
+
+    dm, t1 = marginal(mk_any, *odpair)
+    print(f"FULL any: marginal={dm*1e3:.2f} ms -> "
+          f"{r/dm/1e6:.1f} Mrays/s device")
 
 
 if __name__ == "__main__":

@@ -78,10 +78,10 @@ def test_worklist_tmax_cull_is_exactly_occlusion(grid_scene):
 
 
 def test_worklist_overflow_falls_back(grid_scene, monkeypatch):
-    """With a tiny chunk capacity the lax.cond must route to the dense
+    """With a tiny item capacity the lax.cond must route to the dense
     fallback kernel and still produce exact results."""
     arrays, meta = grid_scene
-    monkeypatch.setattr(wl, "MAX_CHUNKS", 8)
+    monkeypatch.setattr(wl, "MAX_COARSE", 8)
     o, d = _rays(192, seed=7)   # unique shape -> fresh trace sees patch
     a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax")
     b = intersect_closest(arrays, o, d, meta.stack_size,
@@ -92,20 +92,46 @@ def test_worklist_overflow_falls_back(grid_scene, monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_super_cull_is_sound(grid_scene):
-    """The conservative bundle-vs-supercluster cull must never drop a
-    supercluster the exact per-ray test enters."""
+def test_super_cull_is_exact(grid_scene):
+    """The Pallas coarse cull must reproduce the exact per-ray slab
+    test (min entry over entering rays) bit-for-bit vs the XLA
+    mirror."""
     arrays, meta = grid_scene
     o, d = _rays(4 * wl.RB, seed=9)
-    od, _ = wl._prep_rays_wl(o, d)
-    _, _, sbox_vec, cpad, cs = wl._pad_tables(arrays)
-    nb = od.shape[1] // wl.RB
-    tcap = jnp.full((nb, 1), wl.BIG, jnp.float32)
-    cons = wl._cull_tlo(sbox_vec, od, tcap, interpret=True)
-    exact = wl._exact_tlo_super(arrays, od, tcap, sbox_vec.T[:cs],
-                                sbox_vec.shape[1])
-    c = np.asarray(cons)
-    e = np.asarray(exact)
-    # conservative entry must be <= exact entry wherever exact enters
-    entered = e < wl.BIG
-    assert (c[entered] <= e[entered] + 1e-4).all()
+    _, odt, _, _ = wl._prep_rays_wl(o, d)
+    _, _, sboxv, cpad, cs = wl._pad_tables(arrays)
+    kern = np.asarray(wl._cull_super(sboxv, odt, interpret=True))
+    mirror = np.asarray(wl._exact_tlo_super(sboxv, odt))
+    np.testing.assert_allclose(kern, mirror, rtol=1e-6, atol=1e-6)
+    # sanity: some supers entered, some culled
+    assert (kern < wl.BIG).any() and (kern >= wl.BIG).any()
+
+
+def test_super_cull_tmax_prunes(grid_scene):
+    """Per-ray t_max caps must cull superclusters whose entry lies
+    beyond every entering ray's range, and never cull closer ones."""
+    arrays, meta = grid_scene
+    # coherent bundle: all rays start 10 units out on -z, aimed at the
+    # geometry, so every supercluster entry distance is >= ~9
+    rng = np.random.default_rng(11)
+    n = 2 * wl.RB
+    o = np.tile(np.asarray([[0.0, 1.0, -10.0]], np.float32), (n, 1))
+    d = np.asarray([0, 1, 0], np.float32) * 0.0 + np.stack(
+        [rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n),
+         np.ones(n)], axis=1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    _, odt_inf, _, _ = wl._prep_rays_wl(o, d)
+    cap = 5.0   # well short of the geometry
+    _, odt_cap, _, _ = wl._prep_rays_wl(o, d, t_max=cap)
+    _, _, sboxv, _, _ = wl._pad_tables(arrays)
+    full = np.asarray(wl._cull_super(sboxv, odt_inf, interpret=True))
+    capped = np.asarray(wl._cull_super(sboxv, odt_cap, interpret=True))
+    # capping can only remove entries (or keep entry distance equal)
+    entered = capped < wl.BIG
+    np.testing.assert_allclose(capped[entered], full[entered],
+                               rtol=1e-6, atol=1e-6)
+    # entries past the cap are gone
+    assert not (capped[(full > cap + 1e-3) & (full < wl.BIG)]
+                < wl.BIG).any()
+    assert entered.sum() < (full < wl.BIG).sum()
