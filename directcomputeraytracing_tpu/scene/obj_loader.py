@@ -191,20 +191,12 @@ def load_obj(path, default_material=None):
             return tex_cache[fname]
         fpath = os.path.join(os.path.dirname(path), fname)
         try:
-            from ..utils.image import load_image
+            from ..utils.image import load_texture_rgba
 
-            img = load_image(fpath)
+            rgba = load_texture_rgba(fpath)
         except Exception:
             tex_cache[fname] = -1
             return -1
-        if img.ndim == 2:
-            img = np.repeat(img[..., None], 3, axis=2)
-        rgba = np.ones(img.shape[:2] + (4,), np.float32)
-        rgb = img[..., :3]
-        rgba[..., :3] = np.where(rgb <= 0.04045, rgb / 12.92,
-                                 ((rgb + 0.055) / 1.055) ** 2.4)
-        if img.shape[2] == 4:
-            rgba[..., 3] = img[..., 3]
         textures.append(rgba)
         tex_cache[fname] = len(textures) - 1
         return tex_cache[fname]

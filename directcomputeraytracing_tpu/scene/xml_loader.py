@@ -8,7 +8,10 @@ aperture_radius/focus_distance :1107-1246; bsdf types diffuse /
 roughdiffuse / dielectric / thindielectric / roughdielectric / conductor
 / roughconductor / plastic / roughplastic / twosided / mask :719-1004
 (alpha -> roughness = sqrt(alpha) :887-889, int_ior/ext_ior defaults
-1.49/1.000277 :894-896, conductor eta/k RGB); shapes `obj` (deduped by
+1.49/1.000277 :894-896, conductor eta/k RGB); `texture type="bitmap"`
+for reflectance/diffuse_reflectance/opacity, inline or by <ref>, with
+the reference's white-albedo bypass :989 and opacity bypass :766
+(GetOrAddTexture :670-716); shapes `obj` (deduped by
 filename -> instancing) and `rectangle` (shared [-1,1]^2 z=0 mesh,
 Mesh.cpp:7-57) :1302-1385; per-shape `to_world` (Mitsuba column-vector
 row-major -> row-vector transpose, then RHS->LHS first-column negation
@@ -66,16 +69,68 @@ def _subst(value: str, defaults: Dict[str, str]) -> str:
     return value
 
 
-def _props(node, defaults):
+class _TextureCtx:
+    """Dedup-and-load context for <texture type="bitmap"> elements
+    (reference: SMaterialGatheringContext::GetOrAddTexture,
+    SceneXMLLoading.cpp:670-716 — dedup by element, unsupported types
+    log and return no-texture)."""
+
+    def __init__(self, base_dir):
+        self.base_dir = base_dir
+        self.textures = []            # (H, W, 4) linear float32 each
+        self._cache = {}              # id(element) | abspath -> index
+        self.named = {}               # id attribute -> element
+
+    def get_or_add(self, el):
+        if el.get("type") != "bitmap":
+            return -1
+        key = id(el)
+        if key in self._cache:
+            return self._cache[key]
+        fname = None
+        for c in el.findall("string"):
+            if c.get("name") == "filename":
+                fname = c.get("value")
+        idx = -1
+        if fname:
+            fpath = os.path.normpath(os.path.join(self.base_dir, fname))
+            if fpath in self._cache:
+                idx = self._cache[fpath]
+            else:
+                try:
+                    from ..utils.image import load_texture_rgba
+
+                    self.textures.append(load_texture_rgba(fpath))
+                    idx = len(self.textures) - 1
+                except Exception:
+                    idx = -1
+                self._cache[fpath] = idx
+        self._cache[key] = idx
+        return idx
+
+
+def _is_tex(v):
+    return isinstance(v, tuple) and len(v) == 2 and v[0] == "__tex__"
+
+
+def _props(node, defaults, ctx=None):
     """Collect child <integer|float|string|boolean|rgb|point|vector>
-    properties into a dict."""
+    properties into a dict. With a _TextureCtx, inline <texture>
+    children and named <ref> children resolve to ("__tex__", element)
+    markers the BSDF translator turns into texture indices."""
     out = {}
     for c in node:
         name = c.get("name")
         if name is None:
             continue
         val = _subst(c.get("value", ""), defaults)
-        if c.tag == "integer":
+        if ctx is not None and c.tag == "texture":
+            out[name] = ("__tex__", c)
+        elif ctx is not None and c.tag == "ref":
+            tgt = ctx.named.get(c.get("id"))
+            if tgt is not None:
+                out[name] = ("__tex__", tgt)
+        elif c.tag == "integer":
             out[name] = int(float(val))
         elif c.tag == "float":
             out[name] = float(val)
@@ -166,26 +221,37 @@ def _parse_transform(node, defaults):
     return out
 
 
-def _translate_bsdf(node, defaults, two_sided=False, opacity=1.0,
-                    name=None):
+def _translate_bsdf(node, defaults, ctx=None, two_sided=False,
+                    opacity=1.0, opacity_texture=-1, name=None):
     """BSDF element -> Material (reference: TranslateMaterialFromBSDF,
-    SceneXMLLoading.cpp:719-1004)."""
+    SceneXMLLoading.cpp:719-1004; bitmap textures :672-716 with the
+    opacity bypass :766 and albedo bypass :989)."""
     btype = node.get("type")
     name = name or node.get("id")
     if btype == "twosided":
         inner = node.find("bsdf")
-        return _translate_bsdf(inner, defaults, two_sided=True,
-                               opacity=opacity, name=name)
+        return _translate_bsdf(inner, defaults, ctx, two_sided=True,
+                               opacity=opacity,
+                               opacity_texture=opacity_texture, name=name)
     if btype == "mask":
-        p = _props(node, defaults)
+        p = _props(node, defaults, ctx)
         op = p.get("opacity")
-        op = float(op.mean()) if isinstance(op, np.ndarray) else \
-            (1.0 if op is None else float(op))
+        op_tex = -1
+        if _is_tex(op) and ctx is not None:
+            op_tex = ctx.get_or_add(op[1])
+            # bypass the scalar when a texture drives opacity
+            # (reference: SceneXMLLoading.cpp:766)
+            op = 1.0 if op_tex >= 0 else 1.0
+        elif isinstance(op, np.ndarray):
+            op = float(op.mean())
+        else:
+            op = 1.0 if op is None else float(op)
         inner = node.find("bsdf")
-        return _translate_bsdf(inner, defaults, two_sided=two_sided,
-                               opacity=op, name=name)
+        return _translate_bsdf(inner, defaults, ctx, two_sided=two_sided,
+                               opacity=op, opacity_texture=op_tex,
+                               name=name)
 
-    p = _props(node, defaults)
+    p = _props(node, defaults, ctx)
     rough = btype.startswith("rough")
     alpha = float(p.get("alpha", 0.1))
     roughness = float(np.sqrt(alpha)) if rough else 0.0
@@ -193,24 +259,39 @@ def _translate_bsdf(node, defaults, two_sided=False, opacity=1.0,
     int_ior = float(p.get("int_ior", DEFAULT_INT_IOR))
     ext_ior = float(p.get("ext_ior", DEFAULT_EXT_IOR))
 
+    def albedo_of(key, default):
+        """RGB value or bitmap texture with white-albedo bypass
+        (reference: SceneXMLLoading.cpp:989)."""
+        v = p.get(key, default)
+        if _is_tex(v) and ctx is not None:
+            tex = ctx.get_or_add(v[1])
+            if tex >= 0:
+                return (1.0, 1.0, 1.0), tex
+            return tuple(np.atleast_1d(default)[:3]), -1
+        return tuple(np.atleast_1d(v)[:3]), -1
+
     base = btype[5:] if rough else btype
     if base == "diffuse":
-        refl = p.get("reflectance", np.asarray([0.5, 0.5, 0.5], np.float32))
-        return Material(albedo=tuple(np.atleast_1d(refl)[:3]),
+        alb, atex = albedo_of("reflectance",
+                              np.asarray([0.5, 0.5, 0.5], np.float32))
+        return Material(albedo=alb, albedo_texture=atex,
                         mtype=MATERIAL_TYPE_DIFFUSE,
                         roughness=1.0, two_sided=two_sided, opacity=opacity,
+                        opacity_texture=opacity_texture,
                         name=name or btype)
     if base == "dielectric":
         return Material(albedo=(1.0, 1.0, 1.0),
                         mtype=MATERIAL_TYPE_DIELECTRIC,
                         ior=(int_ior / ext_ior,) * 3, roughness=roughness,
                         two_sided=two_sided, opacity=opacity,
+                        opacity_texture=opacity_texture,
                         name=name or btype)
     if base == "thindielectric":
         return Material(albedo=(1.0, 1.0, 1.0),
                         mtype=MATERIAL_TYPE_THIN_DIELECTRIC,
                         ior=(int_ior / ext_ior,) * 3, roughness=roughness,
                         two_sided=two_sided, opacity=opacity,
+                        opacity_texture=opacity_texture,
                         name=name or btype)
     if base == "conductor":
         eta = np.atleast_1d(p.get("eta", np.asarray([0.2, 0.92, 1.1],
@@ -222,18 +303,21 @@ def _translate_bsdf(node, defaults, two_sided=False, opacity=1.0,
                         mtype=MATERIAL_TYPE_CONDUCTOR,
                         ior=tuple((eta / ext_eta)[:3]), roughness=roughness,
                         two_sided=two_sided, opacity=opacity,
+                        opacity_texture=opacity_texture,
                         name=name or btype)
     if base == "plastic":
-        refl = p.get("diffuse_reflectance",
-                     np.asarray([0.5, 0.5, 0.5], np.float32))
-        return Material(albedo=tuple(np.atleast_1d(refl)[:3]),
+        alb, atex = albedo_of("diffuse_reflectance",
+                              np.asarray([0.5, 0.5, 0.5], np.float32))
+        return Material(albedo=alb, albedo_texture=atex,
                         mtype=MATERIAL_TYPE_PLASTIC,
                         ior=(int_ior / ext_ior,) * 3, roughness=roughness,
                         two_sided=two_sided, opacity=opacity,
+                        opacity_texture=opacity_texture,
                         name=name or btype)
     # unsupported -> black diffuse (reference :856-860 default branch)
     return Material(albedo=(0.0, 0.0, 0.0), mtype=MATERIAL_TYPE_DIFFUSE,
                     two_sided=two_sided, opacity=opacity,
+                    opacity_texture=opacity_texture,
                     name=name or btype or "unknown")
 
 
@@ -312,8 +396,13 @@ def load_mitsuba_xml(path):
         scene.materials.append(mat)
         return len(scene.materials) - 1
 
+    tex_ctx = _TextureCtx(base_dir)
+    for t in root.findall("texture"):
+        if t.get("id"):
+            tex_ctx.named[t.get("id")] = t
+
     for b in root.findall("bsdf"):
-        mid = add_material(_translate_bsdf(b, defaults))
+        mid = add_material(_translate_bsdf(b, defaults, tex_ctx))
         if b.get("id"):
             named_materials[b.get("id")] = mid
 
@@ -342,7 +431,8 @@ def load_mitsuba_xml(path):
         else:
             b = shape.find("bsdf")
             if b is not None:
-                mat_id = add_material(_translate_bsdf(b, defaults))
+                mat_id = add_material(_translate_bsdf(b, defaults,
+                                                      tex_ctx))
 
         # emitter?
         radiance = None
@@ -417,6 +507,7 @@ def load_mitsuba_xml(path):
 
     if not scene.materials:
         scene.materials.append(Material(name="default"))
+    scene.textures = tex_ctx.textures
     return scene, settings
 
 

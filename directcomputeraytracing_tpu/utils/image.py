@@ -38,6 +38,21 @@ def srgb_to_linear(x):
                     ((x + 0.055) / 1.055) ** 2.4).astype(np.float32)
 
 
+def load_texture_rgba(path):
+    """Decode a material texture to (H, W, 4) linear float32 (RGB
+    sRGB->linear, alpha kept linear) — the reference's WIC
+    R8G8B8A8_sRGB load (reference: Source/Texture.cpp:87-162). Raises
+    on unreadable files (callers decide the fallback policy)."""
+    img = load_image(path)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    rgba = np.ones(img.shape[:2] + (4,), np.float32)
+    rgba[..., :3] = srgb_to_linear(img[..., :3])
+    if img.shape[2] == 4:
+        rgba[..., 3] = img[..., 3]
+    return rgba
+
+
 def load_env_map(path):
     """Load an environment radiance map as (H, W, 3) float32 lat-long.
 

@@ -139,3 +139,95 @@ def test_flattens(loaded):
     arrays, meta = flatten_scene(scene)
     assert meta.light_count == 3    # env + directional + mesh light
     assert meta.env_light_index >= 0
+
+
+TEXTURED_XML = textwrap.dedent("""\
+    <scene version="3.0.0">
+      <texture type="bitmap" id="shared_tex">
+        <string name="filename" value="albedo.png"/>
+      </texture>
+      <bsdf type="diffuse" id="painted">
+        <texture type="bitmap" name="reflectance">
+          <string name="filename" value="albedo.png"/>
+        </texture>
+      </bsdf>
+      <bsdf type="plastic" id="painted_ref">
+        <ref name="diffuse_reflectance" id="shared_tex"/>
+      </bsdf>
+      <bsdf type="mask" id="leaf">
+        <texture type="bitmap" name="opacity">
+          <string name="filename" value="alpha.png"/>
+        </texture>
+        <bsdf type="diffuse"><rgb name="reflectance" value="0.2 0.6 0.2"/></bsdf>
+      </bsdf>
+      <bsdf type="mask" id="fence">
+        <float name="opacity" value="0.25"/>
+        <bsdf type="diffuse"><rgb name="reflectance" value="0.5 0.5 0.5"/></bsdf>
+      </bsdf>
+      <shape type="rectangle"><ref id="painted"/></shape>
+      <shape type="rectangle"><ref id="painted_ref"/></shape>
+      <shape type="rectangle"><ref id="leaf"/></shape>
+    </scene>
+    """)
+
+
+@pytest.fixture()
+def textured(tmp_path):
+    from PIL import Image
+
+    a = np.zeros((4, 8, 3), np.uint8)
+    a[..., 0] = 255                      # pure red albedo
+    Image.fromarray(a, "RGB").save(tmp_path / "albedo.png")
+    o = np.zeros((4, 4), np.uint8)
+    o[:2] = 255                          # top half opaque
+    Image.fromarray(o, "L").save(tmp_path / "alpha.png")
+    p = tmp_path / "scene.xml"
+    p.write_text(TEXTURED_XML)
+    return load_mitsuba_xml(str(p))
+
+
+def test_bitmap_albedo_texture(textured):
+    """Inline bitmap reflectance -> texture index + white-albedo bypass
+    (reference: SceneXMLLoading.cpp:989)."""
+    scene, settings = textured
+    mats = {m.name: m for m in scene.materials}
+    m = mats["painted"]
+    assert m.albedo_texture >= 0
+    np.testing.assert_allclose(m.albedo, (1.0, 1.0, 1.0))
+    tex = scene.textures[m.albedo_texture]
+    assert tex.shape == (4, 8, 4)
+    np.testing.assert_allclose(tex[0, 0, :3], (1.0, 0.0, 0.0), atol=1e-6)
+
+
+def test_bitmap_texture_ref_dedup(textured):
+    """<ref> to a named texture resolves, and same-file textures dedup
+    to one atlas layer (reference dedups via GetOrAddTexture)."""
+    scene, settings = textured
+    mats = {m.name: m for m in scene.materials}
+    assert mats["painted_ref"].albedo_texture == \
+        mats["painted"].albedo_texture
+    assert len(scene.textures) == 2      # albedo.png + alpha.png
+
+
+def test_bitmap_opacity_mask(textured):
+    """mask with a bitmap opacity -> opacity texture index with the
+    scalar bypassed to 1 (reference: SceneXMLLoading.cpp:766); scalar
+    masks keep the scalar path."""
+    scene, settings = textured
+    mats = {m.name: m for m in scene.materials}
+    leaf = mats["leaf"]
+    assert leaf.opacity_texture >= 0
+    assert leaf.opacity == 1.0
+    np.testing.assert_allclose(leaf.albedo, (0.2, 0.6, 0.2))
+    tex = scene.textures[leaf.opacity_texture]
+    assert tex[0, 0, 0] > 0.9 and tex[3, 0, 0] < 1e-6
+    fence = mats["fence"]
+    assert fence.opacity_texture == -1
+    np.testing.assert_allclose(fence.opacity, 0.25)
+
+
+def test_textured_mask_flattens_alpha(textured):
+    scene, settings = textured
+    arrays, meta = flatten_scene(scene)
+    assert meta.any_opacity_texture
+    assert int(arrays.mat_opacity_tex.max()) >= 0
