@@ -76,9 +76,12 @@ _FAR = 2.0 * BIG ** 0.5      # padding-ray origin: misses all geometry
 
 def _prep_rays_wl(origin, direction, t_max=None):
     """(R, 3) x2 [+ per-ray t_max] -> (od (6, Rpad) [o; d] fused sweep
-    operand, odt (Rpad, 8) [o|d|t_max|0] rays-on-sublanes cull operand,
-    tm (1, Rpad) sweep t_max row, R). Pads to 8 bundles with far-away
-    zero-range rays that enter nothing."""
+    operand, odt (Rpad, 16) [o|d|t_max|0|inv_d|0*5] rays-on-sublanes
+    cull operand, tm (1, Rpad) sweep t_max row, R). The direction
+    reciprocals are precomputed here (fused XLA elementwise) because
+    (RB, 1)-shaped math inside the cull kernel costs full-plane vregs
+    per op. Pads to 8 bundles with far-away zero-range rays that enter
+    nothing."""
     r = origin.shape[0]
     quantum = 8 * RB
     pad = -(-r // quantum) * quantum - r
@@ -93,9 +96,13 @@ def _prep_rays_wl(origin, direction, t_max=None):
         tm = jnp.concatenate(
             [jnp.broadcast_to(jnp.asarray(t_max, F32), (r,)),
              jnp.zeros((pad,), F32)])
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                          jnp.where(d >= 0, 1e-30, -1e-30), d)
     od = jnp.concatenate([o.T, d.T], axis=0)
+    rp = r + pad
     odt = jnp.concatenate(
-        [o, d, tm[:, None], jnp.zeros((r + pad, 1), F32)], axis=1)
+        [o, d, tm[:, None], jnp.zeros((rp, 1), F32), inv,
+         jnp.zeros((rp, 5), F32)], axis=1)
     return od, odt, tm[None, :], r
 
 
@@ -140,16 +147,14 @@ def _pad_tables(scene):
 def _exact_tlo_plane(box_row, odt, n_boxes):
     """Exact slab test of every ray (sublanes) against every box
     (lanes). box_row(ax) -> (1, n) bmin component, box_row(3+ax) bmax;
-    odt (RB, 8) [o|d|t_max|0]. Returns (1, n) per-box min entry over
-    entering rays (BIG = no ray enters within its t_max)."""
+    odt (RB, 16) [o|d|t_max|0|inv_d|...]. Returns (1, n) per-box min
+    entry over entering rays (BIG = no ray enters within its t_max)."""
     rb = odt.shape[0]
     t_lo = jnp.full((rb, n_boxes), -BIG, F32)
     t_hi = jnp.full((rb, n_boxes), BIG, F32)
     for ax in range(3):
         o_c = odt[:, ax:ax + 1]                        # (RB, 1)
-        d_c = odt[:, 3 + ax:4 + ax]
-        inv = 1.0 / jnp.where(jnp.abs(d_c) < 1e-30,
-                              jnp.where(d_c >= 0, 1e-30, -1e-30), d_c)
+        inv = odt[:, 8 + ax:9 + ax]
         a = (box_row(ax) - o_c) * inv                  # (RB, n)
         b = (box_row(3 + ax) - o_c) * inv
         t_lo = jnp.maximum(t_lo, jnp.minimum(a, b))
@@ -177,7 +182,7 @@ def _cull_super(sboxv, odt, interpret=False):
         in_specs=[
             pl.BlockSpec((8, ct), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 8), lambda i, j: (i, 0),
+            pl.BlockSpec((RB, 16), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, ct), lambda i, j: (i, 0, j),
@@ -191,7 +196,7 @@ def _cull_super(sboxv, odt, interpret=False):
 def _exact_tlo_super(sboxv, odt):
     """XLA mirror of the coarse cull (test oracle)."""
     nb = odt.shape[0] // RB
-    odt3 = odt.reshape(nb, RB, 8)
+    odt3 = odt.reshape(nb, RB, 16)
     rows = jax.vmap(
         lambda o: _exact_tlo_plane(
             lambda i: sboxv[i:i + 1, :], o, sboxv.shape[1]))(odt3)
