@@ -283,47 +283,8 @@ def _traverse(scene, origin, direction, t_min, t_max_init, stack_size,
                 tv[:, 0:3], tv[:, 3:6], tv[:, 6:9])
             accept = tested & ok
             if alpha_test:
-                # reference: AnyHitShader (HitShader.inc.hlsl:86-113) —
-                # only non-opaque instances alpha-test; instance material
-                # override wins over the triangle's material
-                from ..core.constants import (
-                    INSTANCE_FLAG_OPAQUE,
-                    INSTANCE_MATERIAL_OVERRIDE_NONE,
-                )
-                inst_c = jnp.clip(inst_new, 0,
-                                  scene.instance_flags.shape[0] - 1)
-                opaque = (scene.instance_flags[inst_c]
-                          & U32(INSTANCE_FLAG_OPAQUE)) != 0
-                override = scene.instance_material_overrides[inst_c]
-                has_ov = override != U32(INSTANCE_MATERIAL_OVERRIDE_NONE)
-                ov_opacity = scene.mat_opacity[
-                    jnp.clip(override, 0,
-                             scene.mat_opacity.shape[0] - 1).astype(I32)]
-                opac = jnp.where(has_ov, ov_opacity,
-                                 scene.tri_opacity[prim])
-                if alpha_textures:
-                    # reference: AnyHitShader samples the opacity
-                    # texture's R channel at the candidate hit UV
-                    # (HitShader.inc.hlsl:105-111)
-                    from ..integrator.common import sample_texture_atlas
-
-                    mat_id = jnp.where(
-                        has_ov, override,
-                        scene.material_ids[prim]).astype(I32)
-                    mat_id = jnp.clip(mat_id, 0,
-                                      scene.mat_opacity_tex.shape[0] - 1)
-                    otex = scene.mat_opacity_tex[mat_id]
-                    trix = scene.triangles[prim].astype(I32)
-                    uv0 = scene.vtx_table[trix[:, 0], 9:11]
-                    uv1 = scene.vtx_table[trix[:, 1], 9:11]
-                    uv2 = scene.vtx_table[trix[:, 2], 9:11]
-                    uvh = (uv0 + (uv1 - uv0) * u[..., None]
-                           + (uv2 - uv0) * v[..., None])
-                    uvh = uvh * scene.mat_tiling[mat_id]
-                    tex_o = sample_texture_atlas(
-                        scene.textures, scene.texture_sizes, otex,
-                        uvh)[..., 0]
-                    opac = opac * jnp.where(otex >= 0, tex_o, 1.0)
+                opac, opaque = effective_opacity(scene, prim, inst_new,
+                                                 u, v, alpha_textures)
                 accept = accept & (opaque | (opacity_u < opac))
             if any_hit:
                 occluded = occluded | accept
@@ -454,6 +415,119 @@ def _brute(scene, origin, direction, t_min, t_max_init, any_hit,
     return out
 
 
+def effective_opacity(scene, prim, inst, u, v, alpha_textures):
+    """Alpha-test opacity of a candidate hit, and the instance opaque
+    flag that bypasses the test (reference: AnyHitShader,
+    HitShader.inc.hlsl:86-113 — only non-opaque instances alpha-test;
+    an instance material override wins over the triangle's material;
+    the opacity texture's R channel is sampled at the hit UV).
+
+    prim: leaf-ordered global triangle index; u/v: barycentrics."""
+    from ..core.constants import (
+        INSTANCE_FLAG_OPAQUE,
+        INSTANCE_MATERIAL_OVERRIDE_NONE,
+    )
+    inst_c = jnp.clip(inst.astype(I32), 0,
+                      scene.instance_flags.shape[0] - 1)
+    opaque = (scene.instance_flags[inst_c]
+              & U32(INSTANCE_FLAG_OPAQUE)) != 0
+    override = scene.instance_material_overrides[inst_c]
+    has_ov = override != U32(INSTANCE_MATERIAL_OVERRIDE_NONE)
+    ov_opacity = scene.mat_opacity[
+        jnp.clip(override, 0,
+                 scene.mat_opacity.shape[0] - 1).astype(I32)]
+    prim = jnp.clip(prim.astype(I32), 0, scene.tri_opacity.shape[0] - 1)
+    opac = jnp.where(has_ov, ov_opacity, scene.tri_opacity[prim])
+    if alpha_textures:
+        from ..integrator.common import sample_texture_atlas
+
+        mat_id = jnp.where(
+            has_ov, override, scene.material_ids[prim]).astype(I32)
+        mat_id = jnp.clip(mat_id, 0, scene.mat_opacity_tex.shape[0] - 1)
+        otex = scene.mat_opacity_tex[mat_id]
+        trix = scene.triangles[prim].astype(I32)
+        uv0 = scene.vtx_table[trix[:, 0], 9:11]
+        uv1 = scene.vtx_table[trix[:, 1], 9:11]
+        uv2 = scene.vtx_table[trix[:, 2], 9:11]
+        uvh = (uv0 + (uv1 - uv0) * u[..., None]
+               + (uv2 - uv0) * v[..., None])
+        uvh = uvh * scene.mat_tiling[mat_id]
+        tex_o = sample_texture_atlas(
+            scene.textures, scene.texture_sizes, otex, uvh)[..., 0]
+        opac = opac * jnp.where(otex >= 0, tex_o, 1.0)
+    return opac, opaque
+
+
+_ALPHA_MAX_PASSES = 64   # recast-loop bound (deepest transparent stack)
+_ALPHA_ADVANCE = 4e-4    # relative origin advance past a rejected hit
+
+
+def _alpha_recast(scene, origin, direction, t_min, opacity_u,
+                  alpha_textures, cast_closest, t_max=None):
+    """Alpha-tested query via iterative re-casting around an opaque
+    closest-hit kernel: cast, evaluate the candidate's opacity in XLA
+    (vectorized texture fetches), and re-cast resolved-transparent rays
+    from beyond the rejected surface. Resolved rays are parked on a
+    far-away origin so the work-list cull drops them — extra passes only
+    cost work where transparency was actually hit.
+
+    This is how the reference's in-kernel AnyHitShader hook
+    (BVHAccel.inc.hlsl:182-190) maps to the TPU fast path: the texture
+    gather moves OUT of the kernel, the traversal stays dense.
+
+    Returns (t, u, v, tri, inst, back, occluded) with t accumulated
+    across passes. When t_max is given, occluded = accepted hit within
+    (t_min, t_max) (shadow-ray semantics)."""
+    R = origin.shape[0]
+    park = jnp.full((R, 3), 2.0 * 1e9, F32)
+    inf = jnp.full(R, jnp.inf, F32)
+    zero = jnp.zeros(R, F32)
+    tmax_arr = (None if t_max is None
+                else jnp.broadcast_to(jnp.asarray(t_max, F32), (R,)))
+
+    def cond(s):
+        k, done = s[0], s[1]
+        return (k < _ALPHA_MAX_PASSES) & jnp.any(~done)
+
+    def body(s):
+        (k, done, cur_o, t_base, out_t, out_u, out_v, out_tri, out_inst,
+         out_back, occ) = s
+        o_eff = jnp.where(done[:, None], park, cur_o)
+        t, u, v, tri, inst, back = cast_closest(o_eff, direction)
+        hit = jnp.isfinite(t)
+        opac, opaque = effective_opacity(scene, tri, inst, u, v,
+                                         alpha_textures)
+        accept = opaque | (opacity_u < opac)
+        t_tot = t_base + t
+        if tmax_arr is None:
+            take = ~done & hit & accept
+            ends = ~done & (~hit | accept)
+        else:
+            take = ~done & hit & accept & (t_tot < tmax_arr)
+            # an accepted hit OR any hit past t_max resolves the ray
+            ends = ~done & (~hit | accept | (t_tot >= tmax_arr))
+        out_t = jnp.where(take, t_tot, out_t)
+        out_u = jnp.where(take, u, out_u)
+        out_v = jnp.where(take, v, out_v)
+        out_tri = jnp.where(take, tri, out_tri)
+        out_inst = jnp.where(take, inst, out_inst)
+        out_back = jnp.where(take, back, out_back)
+        occ = occ | take
+        reject = ~done & hit & ~accept
+        adv = t * (1.0 + _ALPHA_ADVANCE) + 1e-5
+        cur_o = jnp.where(reject[:, None],
+                          cur_o + adv[:, None] * direction, cur_o)
+        t_base = jnp.where(reject, t_base + adv, t_base)
+        return (k + 1, done | ends, cur_o, t_base, out_t, out_u, out_v,
+                out_tri, out_inst, out_back, occ)
+
+    init = (jnp.int32(0), jnp.zeros(R, bool), origin, zero, inf, zero,
+            zero, jnp.zeros(R, I32), jnp.zeros(R, I32),
+            jnp.zeros(R, bool), jnp.zeros(R, bool))
+    out = jax.lax.while_loop(cond, body, init)
+    return out[4], out[5], out[6], out[7], out[8], out[9], out[10]
+
+
 def _resolve_backend(scene, backend):
     if backend != "auto":
         return backend
@@ -479,28 +553,33 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                       alpha_textures=False):
     """Closest-hit over the scene. origin/direction: (R, 3) f32.
     watertight selects the PBRT permute+shear triangle test (XLA backends
-    only; the Pallas kernels use Moeller-Trumbore, so auto downgrades to
-    'brute'/'jax' when watertight is requested)."""
-    if opacity_u is not None and alpha_textures:
-        backend = "jax"     # textured alpha test lives in the stack path
-    if (watertight or opacity_u is not None) and backend in (
+    only; the Pallas kernels use Moeller/Woop tests, so auto downgrades
+    to 'brute'/'jax' when watertight is requested). Alpha testing
+    (opacity_u, incl. textured) runs on the Pallas fast path through the
+    `_alpha_recast` loop."""
+    if watertight and backend in (
             "auto", "pallas", "pallas_cluster", "pallas_wl"):
         backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
+    if (opacity_u is not None and alpha_textures
+            and backend not in _PALLAS_BACKENDS):
+        backend = "jax"  # non-Pallas textured alpha: the stack path
     if backend in _PALLAS_BACKENDS:
         interp = backend.endswith("interpret")
         if backend.startswith("pallas_wl"):
-            from .worklist import worklist_closest_pallas
-            t, u, v, tri, inst, back = worklist_closest_pallas(
-                scene, origin, direction, t_min, interpret=interp)
+            from .worklist import worklist_closest_pallas as cast
         elif backend.startswith("pallas_cluster"):
-            from .pallas_brute import clustered_closest_pallas
-            t, u, v, tri, inst, back = clustered_closest_pallas(
+            from .pallas_brute import clustered_closest_pallas as cast
+        else:
+            from .pallas_brute import brute_closest_pallas as cast
+        if opacity_u is None:
+            t, u, v, tri, inst, back = cast(
                 scene, origin, direction, t_min, interpret=interp)
         else:
-            from .pallas_brute import brute_closest_pallas
-            t, u, v, tri, inst, back = brute_closest_pallas(
-                scene, origin, direction, t_min, interpret=interp)
+            t, u, v, tri, inst, back, _ = _alpha_recast(
+                scene, origin, direction, t_min, opacity_u,
+                alpha_textures,
+                lambda o, d: cast(scene, o, d, t_min, interpret=interp))
         return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
                        backface=back, hit=jnp.isfinite(t),
                        iterations=jnp.zeros_like(tri))
@@ -524,26 +603,36 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
 def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                   backend="auto", watertight=False, opacity_u=None,
                   alpha_textures=False):
-    """Occlusion query: True where any hit exists in (t_min, t_max)."""
-    if opacity_u is not None and alpha_textures:
-        backend = "jax"
-    if (watertight or opacity_u is not None) and backend in (
+    """Occlusion query: True where any hit exists in (t_min, t_max).
+    Alpha-tested occlusion on the Pallas path runs the `_alpha_recast`
+    closest-hit loop (the opaque any-hit kernels cannot report WHICH
+    surface occluded, which the alpha test needs)."""
+    if watertight and backend in (
             "auto", "pallas", "pallas_cluster", "pallas_wl"):
         backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
+    if (opacity_u is not None and alpha_textures
+            and backend not in _PALLAS_BACKENDS):
+        backend = "jax"  # non-Pallas textured alpha: the stack path
     if backend in _PALLAS_BACKENDS:
         interp = backend.endswith("interpret")
         if backend.startswith("pallas_wl"):
-            from .worklist import worklist_any_pallas
-            return worklist_any_pallas(scene, origin, direction, t_max,
-                                       t_min, interpret=interp)
-        if backend.startswith("pallas_cluster"):
-            from .pallas_brute import clustered_any_pallas
-            return clustered_any_pallas(scene, origin, direction, t_max,
-                                        t_min, interpret=interp)
-        from .pallas_brute import brute_any_pallas
-        return brute_any_pallas(scene, origin, direction, t_max, t_min,
-                                interpret=interp)
+            from .worklist import worklist_any_pallas as cast_any
+            from .worklist import worklist_closest_pallas as cast_c
+        elif backend.startswith("pallas_cluster"):
+            from .pallas_brute import clustered_any_pallas as cast_any
+            from .pallas_brute import clustered_closest_pallas as cast_c
+        else:
+            from .pallas_brute import brute_any_pallas as cast_any
+            from .pallas_brute import brute_closest_pallas as cast_c
+        if opacity_u is None:
+            return cast_any(scene, origin, direction, t_max, t_min,
+                            interpret=interp)
+        occ = _alpha_recast(
+            scene, origin, direction, t_min, opacity_u, alpha_textures,
+            lambda o, d: cast_c(scene, o, d, t_min, interpret=interp),
+            t_max=t_max)[6]
+        return occ
     if backend == "brute":
         out = _brute(scene, origin, direction, F32(t_min), t_max,
                      any_hit=True, watertight=watertight,

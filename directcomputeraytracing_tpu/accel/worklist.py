@@ -17,23 +17,26 @@ a two-phase hierarchy over ray *bundles*:
     front-to-back by t_lo (`lax.sort`, payload carried) and compact
     into (block, super) work items via one small cumsum+scatter.
  C. FUSED SWEEP (Pallas, `PrefetchScalarGridSpec`): grid = one step per
-    coarse item. Each step DMAs the super's 64 child AABBs and its full
-    64x16-triangle slab via index maps on the scalar-prefetched super
-    ids (auto double-buffered). In-kernel:
+    coarse item. Each step DMAs the super's 64 child AABBs and its
+    full 64x16-triangle slab via index maps on the scalar-prefetched
+    super ids (auto double-buffered). In-kernel:
       1. exact per-ray slab test of all 64 children, pruned against
          each ray's CURRENT best t (true per-ray front-to-back pruning,
          like the reference's t_max test at BVHAccel.inc.hlsl:119) and
          per-ray t_max / occlusion state;
-      2. entered children compact into ranks with one lane cumsum;
-      3. a dynamic-trip-count loop Moeller-sweeps exactly the entered
-         16-triangle clusters from the VMEM-resident slab.
+      2. a dynamic-trip-count loop Moeller-sweeps exactly the entered
+         16-triangle clusters from the VMEM-resident slab;
+      3. the best hit is kept BIT-PACKED as (t & ~0x3FF)|(child<<4)|row
+         so a single integer min IS the argmin (replaces the
+         masked-pick reduction chain).
     Items arrive front-to-back per block, so the step EARLY-TERMINATES
     (~60 ns) once every ray's best hit is closer than the item's entry
     distance. Best-t is initialised to each ray's scene-bbox EXIT
     distance (not +inf), so rays that miss everything stop blocking
-    termination. The kernel outputs only (t, world-soup row);
-    barycentrics, instance, triangle id and facing are recovered in
-    XLA with one Moeller evaluation on the single winning triangle.
+    termination. The kernel outputs only (packed best, winning super);
+    t decodes by masking, and barycentrics, instance, triangle id and
+    facing are recovered in XLA with one Moeller evaluation on the
+    single winning triangle.
 
 Work-item encoding (scalar-prefetched to SMEM):
     blkflags (cap_s,) i32: bits[2,16) ray-block; bit1 first-of-run;
@@ -63,14 +66,15 @@ I32 = jnp.int32
 
 RB = int(_os.environ.get("DCRT_WL_RB", "1024"))      # rays per bundle
 SUPER = 64                   # fine clusters per supercluster
-CT = 256                     # supercluster lane tile of the coarse cull
-MAX_COARSE = 16384           # coarse items per dispatch (SMEM budget)
+CT = 128                     # supercluster lane tile of the coarse cull
+                             # (128 keeps the (RB, CT) slab intermediates
+                             # at ~0.5 MB — 256 spilled VMEM at 212k tris)
+MAX_COARSE = int(_os.environ.get("DCRT_WL_MAXC", "16384"))  # SMEM budget
 SLICE_RAYS = 1 << 20         # larger batches run as lax.map slices so
                              # item counts stay inside the SMEM budget
 _BLOCK_SHIFT = 2
 _BLOCK_MASK = 0x3FFF
 _SOUP_COL = 12               # world-soup row column in the cluster table
-_SLAB = SUPER * CLUSTER_SIZE  # rows per supercluster triangle slab
 _FAR = 2.0 * BIG ** 0.5      # padding-ray origin: misses all geometry
 
 
@@ -209,24 +213,29 @@ def _exact_tlo_super(sboxv, odt):
 
 def _compact_coarse(tlo_s, cs, cap_s):
     """(nb, Cs_pad) -> (blkflags (cap_s,), sup (cap_s,), t_ent (cap_s,),
-    total, block_any), per-block front-to-back."""
+    total, block_any), per-block front-to-back.
+
+    Compacts FIRST (row-major flatten keeps items block-contiguous),
+    then orders within blocks with one two-key sort over the cap_s item
+    list — orders of magnitude fewer elements than sorting the full
+    (nb, Cs) grid."""
     nb = tlo_s.shape[0]
     g = tlo_s[:, :cs]
-    sup_iota = jax.lax.broadcasted_iota(I32, g.shape, 1)
-    g_sorted, sup_sorted = jax.lax.sort(
-        (g, sup_iota), dimension=1, num_keys=1)
-    gm = g_sorted < BIG
+    gm = g < BIG
     flat = gm.ravel()
     cum = jnp.cumsum(flat, dtype=I32)
     total = cum[-1]
     pos = jnp.where(flat, cum - 1, cap_s)
     blk_iota = jax.lax.broadcasted_iota(I32, g.shape, 0)
+    sup_iota = jax.lax.broadcasted_iota(I32, g.shape, 1)
     blk = jnp.full((cap_s,), nb - 1, I32).at[pos].set(
         blk_iota.ravel(), mode="drop")
     sup = jnp.zeros((cap_s,), I32).at[pos].set(
-        sup_sorted.ravel(), mode="drop")
+        sup_iota.ravel(), mode="drop")
     t_ent = jnp.full((cap_s,), BIG, F32).at[pos].set(
-        g_sorted.ravel(), mode="drop")
+        g.ravel(), mode="drop")
+    blk, t_ent, sup = jax.lax.sort((blk, t_ent, sup), dimension=0,
+                                   num_keys=2)
     valid = jnp.arange(cap_s) < total
     bf = (blk << _BLOCK_SHIFT) | valid.astype(I32)
     first = jnp.concatenate(
@@ -240,32 +249,6 @@ def _compact_coarse(tlo_s, cs, cap_s):
 # ---------------------------------------------------------------------------
 # Phase C: fused fine-cull + sweep kernels
 # ---------------------------------------------------------------------------
-
-def _moeller_rows(tab, ox, oy, oz, dx, dy, dz, t_min, t_max):
-    """(S, RB) Moeller-Trumbore for one 16-triangle cluster slab."""
-    c = lambda i: tab[:, i:i + 1]                     # (S, 1)
-    v0x, v0y, v0z = c(0), c(1), c(2)
-    v1x, v1y, v1z = c(3), c(4), c(5)
-    v2x, v2y, v2z = c(6), c(7), c(8)
-    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    det_ok = jnp.abs(det) >= 1e-10
-    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-    ok = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-          & (t >= t_min) & (t < t_max))
-    return t, ok
-
 
 def _fine_enter(cbox_ref, od_ref, cap_row):
     """Exact per-ray slab test of the item's 64 child boxes against the
@@ -300,6 +283,35 @@ def _iota64():
     return jax.lax.broadcasted_iota(I32, (SUPER, 1), 0)
 
 
+_LOW10 = 0x3FF               # packed best-hit low bits: (child<<4)|row
+
+
+def _moeller_rows(tab, ox, oy, oz, dx, dy, dz, t_min, t_max):
+    """(S, RB) Moeller-Trumbore for one 16-triangle cluster slab."""
+    c = lambda i: tab[:, i:i + 1]                     # (S, 1)
+    v0x, v0y, v0z = c(0), c(1), c(2)
+    v1x, v1y, v1z = c(3), c(4), c(5)
+    v2x, v2y, v2z = c(6), c(7), c(8)
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    det_ok = jnp.abs(det) >= 1e-10
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t >= t_min) & (t < t_max))
+    return t, ok
+
+
 def _wl_closest_kernel(bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
                        od_ref, texp_ref, tmin_ref, out_ref, mask_scr):
     i = pl.program_id(0)
@@ -308,7 +320,9 @@ def _wl_closest_kernel(bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
     # early termination: items arrive front-to-back per block, so once
     # every ray's best hit is closer than this item's entry distance,
     # nothing behind can improve (out_ref holds garbage before the
-    # block's first item — `first` short-circuits that term)
+    # block's first item — `first` short-circuits that term).
+    # out_ref[0] is the bit-packed best (t | child | row): as f32 it
+    # still compares like t (positive floats are bit-monotone).
     live = first | (jnp.max(out_ref[0:1, :]) > tent_ref[i])
 
     @pl.when(((item & 1) == 1) & live)
@@ -317,13 +331,18 @@ def _wl_closest_kernel(bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
         dx, dy, dz = od_ref[3:4, :], od_ref[4:5, :], od_ref[5:6, :]
         t_min = tmin_ref[0, 0]
         rb = od_ref.shape[1]
-        rows = jax.lax.broadcasted_iota(I32, (CLUSTER_SIZE, rb), 0)
+        rows = jax.lax.broadcasted_iota(I32, (CLUSTER_SIZE, 1), 0)
 
-        # best-t starts at the ray's scene-bbox exit (+pad), NOT +inf:
-        # rays that miss everything then stop blocking termination
+        # best starts at the ray's scene-bbox exit (+pad), NOT +inf:
+        # rays that miss everything then stop blocking termination.
+        # Setting the low id bits makes any true hit at the same
+        # truncated t win the integer min.
         @pl.when(first)
         def _():
-            out_ref[0:1, :] = texp_ref[0:1, :]
+            texp_bits = jax.lax.bitcast_convert_type(
+                texp_ref[0:1, :], I32) | _LOW10
+            out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                texp_bits, F32)
             out_ref[1:2, :] = jnp.zeros((1, rb), F32)
 
         enter = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :])
@@ -342,18 +361,19 @@ def _wl_closest_kernel(bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             t_b = out_ref[0:1, :]
             t, ok = _moeller_rows(tab, ox, oy, oz, dx, dy, dz, t_min,
                                   t_b)
-            tm = jnp.where(ok, t, BIG)
-            slab_min = jnp.min(tm, axis=0, keepdims=True)
-            better = slab_min < t_b
-            jmin = jnp.min(jnp.where(tm == slab_min, rows, 1 << 30),
-                           axis=0, keepdims=True)
-            jm = rows == jmin
-            soup = tab[:, _SOUP_COL:_SOUP_COL + 1]
-            picked = jnp.sum(
-                jnp.where(jm, jnp.broadcast_to(soup, tm.shape), 0.0),
-                axis=0, keepdims=True)
-            out_ref[0:1, :] = jnp.where(better, slab_min, t_b)
-            out_ref[1:2, :] = jnp.where(better, picked, out_ref[1:2, :])
+            # pack (t & ~0x3FF) | (child << 4) | row: the integer min
+            # IS the argmin; the ~1e-4-relative t truncation only
+            # reorders near-ties, and POST re-intersects the winner
+            bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOW10)
+                    | ((c_r << 4) + rows))
+            packed = jnp.min(jnp.where(ok, bits, jnp.int32(0x7FFFFFFF)),
+                             axis=0, keepdims=True)
+            best = jax.lax.bitcast_convert_type(t_b, I32)
+            better = packed < best
+            out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                jnp.where(better, packed, best), F32)
+            out_ref[1:2, :] = jnp.where(
+                better, sup_ref[i].astype(F32), out_ref[1:2, :])
             return r + 1
 
         jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
@@ -430,7 +450,10 @@ def _scene_exit(scene, od):
         t_lo = jnp.maximum(t_lo, jnp.minimum(a, b))
         t_hi = jnp.minimum(t_hi, jnp.maximum(a, b))
     tex = jnp.where((t_hi >= t_lo) & (t_hi >= 0.0), t_hi, 0.0)
-    return (tex * 1.0001 + 1e-4)[None, :]
+    # the pad must exceed the packed-argmin truncation quantum
+    # (2^-13 relative) so a true hit at the scene-bbox exit still
+    # truncates strictly below the miss sentinel
+    return (tex * 1.001 + 1e-3)[None, :]
 
 
 def _phases(scene, od, odt, interpret):
@@ -452,7 +475,8 @@ def _sweep_specs(extra_row_specs):
     return [
         pl.BlockSpec((1, SUPER, 8), lambda i, bf, su, te: (su[i], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((_SLAB, 13), lambda i, bf, su, te: (su[i], 0),
+        pl.BlockSpec((SUPER * CLUSTER_SIZE, 13),
+                     lambda i, bf, su, te: (su[i], 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((6, RB),
                      lambda i, bf, su, te: (0, _block_idx(bf, i)),
@@ -543,10 +567,23 @@ def _closest_impl(scene, origin, direction, t_min, interpret):
     out2, full6 = jax.lax.cond(fits, wl_path, fallback, 0)
     used_fallback = ~fits
 
-    # best-t values at/after the bbox exit pad are misses
-    t = out2[0, :r]
-    t = jnp.where(t >= texp[0, :r], BIG, t)
-    soup = jnp.clip(out2[1, :r].astype(I32), 0,
+    # decode the packed winner: t (low bits truncated), child cluster
+    # and row -> padded-cluster-table row -> world-soup row
+    win = jax.lax.bitcast_convert_type(out2[0, :r], I32)
+    t = jax.lax.bitcast_convert_type(win & ~_LOW10, F32)
+    # compare truncated-to-truncated: the miss sentinel is texp's
+    # packed init, whose decode is trunc(texp)
+    texp_trunc = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(texp[0, :r], I32) & ~_LOW10, F32)
+    # fallback's plain t values decode to (t & ~0x3FF) <= t: harmless,
+    # they are overwritten below
+    t = jnp.where(t >= texp_trunc, BIG, t)
+    low10 = win & _LOW10
+    sup_w = out2[1, :r].astype(I32)
+    ctab_row = jnp.clip(
+        (sup_w * SUPER + (low10 >> 4)) * CLUSTER_SIZE + (low10 & 0xF),
+        0, ctab.shape[0] - 1)
+    soup = jnp.clip(ctab[ctab_row, _SOUP_COL].astype(I32), 0,
                     scene.world_tris.shape[0] - 1)
 
     # POST: recover barycentrics/meta for the winning triangle (world
@@ -555,9 +592,12 @@ def _closest_impl(scene, origin, direction, t_min, interpret):
 
     tv = scene.world_tris[soup]
     meta = scene.world_tri_meta[soup]
-    _, u, v, back, _ = ray_triangle_moeller(
+    t_m, u, v, back, ok_m = ray_triangle_moeller(
         origin, direction, F32(0.0), jnp.inf,
         tv[:, 0:3], tv[:, 3:6], tv[:, 6:9])
+    # the kernel's best t is low-bit truncated (packed argmin); the
+    # re-intersection gives the exact value
+    t = jnp.where(ok_m & (t < BIG), t_m, t)
     u = jnp.clip(u, 0.0, 1.0)
     v = jnp.clip(v, 0.0, 1.0)
     tri = meta[:, 0].astype(I32)

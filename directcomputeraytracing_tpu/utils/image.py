@@ -60,11 +60,24 @@ def load_env_map(path):
     Source/GPUTexture.cpp:165-245 CreateFromFile via DDSTextureLoader12;
     the TPU build samples a single equirectangular panorama instead of a
     cubemap — same role, simpler addressing on a vector machine).
-    Formats: .npy/.npz (linear float), anything PIL decodes (sRGB
-    LDR images are linearized; DDS files are treated as linear data).
+    Formats: .hdr (Radiance RGBE), .exr (OpenEXR scanline), .dds (float
+    formats; cubemaps are resampled to lat-long), .npy/.npz (linear
+    float), anything PIL decodes (sRGB LDR images are linearized).
     """
     lower = path.lower()
-    if lower.endswith(".npy"):
+    if lower.endswith(".hdr"):
+        from .hdr import load_hdr
+
+        img = load_hdr(path)
+    elif lower.endswith(".exr"):
+        from .hdr import load_exr
+
+        img = load_exr(path)
+    elif lower.endswith(".dds"):
+        from .hdr import load_dds
+
+        img = load_dds(path)
+    elif lower.endswith(".npy"):
         img = np.load(path)
     elif lower.endswith(".npz"):
         data = np.load(path)
@@ -73,7 +86,7 @@ def load_env_map(path):
         from PIL import Image
 
         raw = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-        img = raw if lower.endswith(".dds") else srgb_to_linear(raw)
+        img = srgb_to_linear(raw)
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=2)

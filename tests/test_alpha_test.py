@@ -102,6 +102,7 @@ def test_occlusion_rate_tracks_opacity():
     assert np.asarray(occ2).all()
 
 
+@pytest.mark.slow
 def test_shadow_density_tracks_opacity():
     img_opaque, _ = _render(1.0)
     img_half, _ = _render(0.5)

@@ -107,6 +107,7 @@ def test_interval_cull_is_sound(grid_scene):
     assert np.asarray(gcons).mean() <= 1.0
 
 
+@pytest.mark.slow
 def test_bounce_ray_sorting_is_invariant(grid_scene):
     """sort_bounce_rays must not change the rendered values (pure
     reorder + inverse permutation around the traversal)."""

@@ -17,8 +17,9 @@ def _check(img):
 
 @pytest.mark.parametrize("mats,light", [
     ("diffuse", "point"),      # config 1: Lambert + point light
-    ("glossy", "area"),        # config 2: Cook-Torrance + area light MIS
-    ("dielectric", "area"),
+    # config 2: Cook-Torrance + area light MIS
+    pytest.param("glossy", "area", marks=pytest.mark.slow),
+    pytest.param("dielectric", "area", marks=pytest.mark.slow),
 ])
 def test_cornell_configs(mats, light):
     scene, cam = cornell_box(light=light, material_set=mats)
@@ -26,6 +27,7 @@ def test_cornell_configs(mats, light):
     _check(r.render(spp=2))
 
 
+@pytest.mark.slow
 def test_ibl_thin_lens_config():
     # config 3: HDR env light + thin-lens bokeh
     import jax.numpy as jnp
@@ -46,6 +48,7 @@ def test_ibl_thin_lens_config():
     _check(r.render(spp=2))
 
 
+@pytest.mark.slow
 def test_instanced_wavefront_config(tmp_path):
     # config 4/5 family: instanced scene through the wavefront backend
     scene, cam = sphere_grid(2, 2, stacks=6, slices=8)
@@ -54,6 +57,7 @@ def test_instanced_wavefront_config(tmp_path):
     _check(r.render(spp=2))
 
 
+@pytest.mark.slow
 def test_mitsuba_xml_end_to_end(tmp_path):
     # XML ingestion -> camera/film/filter settings -> render
     xml = textwrap.dedent("""\

@@ -21,7 +21,9 @@ def setup():
     return scene, cam
 
 
-@pytest.mark.parametrize("spp_parallel", [1, 2, 4])
+@pytest.mark.parametrize("spp_parallel", [
+    pytest.param(1, marks=pytest.mark.slow), 2,
+    pytest.param(4, marks=pytest.mark.slow)])
 def test_distributed_matches_single_device(setup, spp_parallel):
     scene, cam = setup
     r = Renderer(scene, cam, width=16, height=16, max_bounce=2)

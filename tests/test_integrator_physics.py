@@ -60,6 +60,7 @@ def furnace():
     return scene, cam
 
 
+@pytest.mark.slow
 def test_white_furnace(furnace):
     """A perfectly white diffuse object in a uniform radiance-1 furnace
     must reflect radiance 1 (energy conservation of Lambert + NEE + MIS +
@@ -89,6 +90,7 @@ def test_white_furnace(furnace):
     assert img.max() < 1.6
 
 
+@pytest.mark.slow
 def test_thin_lens_bokeh_render():
     """Thin-lens + polygonal bokeh camera renders finite, nonzero images
     and produces defocus (variance differs from the pinhole render)."""

@@ -41,6 +41,7 @@ def test_deterministic_at_fixed_seed():
     np.testing.assert_array_equal(imgs[0], imgs[1])
 
 
+@pytest.mark.slow
 def test_area_light_render():
     scene, cam = cornell_box(light="area")
     r = Renderer(scene, cam, width=48, height=48, max_bounce=3)

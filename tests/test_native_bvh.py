@@ -50,6 +50,7 @@ def test_degenerate_identical_centroids(native_available):
     np.testing.assert_array_equal(a.right_or_prim, b.right_or_prim)
 
 
+@pytest.mark.slow
 def test_native_is_faster_at_scale(native_available):
     bmin, bmax = _random_boxes(100_000, seed=42)
     t0 = time.perf_counter()

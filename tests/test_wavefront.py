@@ -39,13 +39,16 @@ def _both(material_set, light, pool_size, seed=3, size=24):
             np.asarray(pos_w), np.asarray(val_w))
 
 
-@pytest.mark.parametrize("material_set", ["diffuse", "glossy", "dielectric"])
+@pytest.mark.parametrize("material_set", [
+    "diffuse", pytest.param("glossy", marks=pytest.mark.slow),
+    pytest.param("dielectric", marks=pytest.mark.slow)])
 def test_wavefront_matches_megakernel(material_set):
     pos_m, val_m, pos_w, val_w = _both(material_set, "area", pool_size=None)
     np.testing.assert_array_equal(pos_w, pos_m)
     np.testing.assert_allclose(val_w, val_m, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_wavefront_small_pool_streams_pixels():
     # pool smaller than the frame: the block cursor must stream every
     # pixel through the pool (reference: g_NextBlockIndex pull loop)
