@@ -1,104 +1,205 @@
-"""Benchmark: BVH traversal Mrays/sec + Cornell spp/sec on one chip.
+"""Benchmark: two-level traversal Mrays/sec on real scenes + renders.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference publishes no numbers (BASELINE.md); the driver
-north star is >=100 Mrays/sec two-level-BVH traversal per TPU chip, so
+
+Headline metric: combined extension(closest) + shadow(any-hit) ray
+throughput on a 212k-triangle instanced scene through the hierarchical
+work-list traversal — the reference's own measurable proxy (extension +
+shadow raycast kernels, reference: Source/WavefrontPathTracer.cpp:
+476-523). The reference publishes no numbers (BASELINE.md); the driver
+north star is >=100 Mrays/sec two-level traversal per TPU chip, so
 vs_baseline = value / 100.
+
+Extras: per-scene closest/any breakdown (36k + 212k tris), Cornell
+256^2 full-path spp/sec + time-to-16spp with the real Kulla-Conty LUTs,
+and the 212k-tri Mitsuba-XML stand-in (BASELINE.md headline row):
+1080p megakernel ms/spp and a megakernel-vs-wavefront RMSE gate at a
+reduced size.
 """
 
 import json
+import tempfile
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    from directcomputeraytracing_tpu.accel.traverse import intersect_closest
-    from directcomputeraytracing_tpu.integrator.common import RenderConfig
-    from directcomputeraytracing_tpu.integrator.megakernel import (
-        full_frame_pixels, render_samples,
+def _timed(fn, reps=3):
+    fn()  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def traversal_metrics():
+    import jax
+    import jax.numpy as jnp
+
+    from directcomputeraytracing_tpu.accel.traverse import (
+        intersect_any, intersect_closest,
     )
     from directcomputeraytracing_tpu.camera.camera import generate_ray
-    from directcomputeraytracing_tpu.lut.textures import placeholder_luts
+    from directcomputeraytracing_tpu.integrator.common import RenderConfig
+    from directcomputeraytracing_tpu.integrator.megakernel import (
+        full_frame_pixels,
+    )
     from directcomputeraytracing_tpu.rng.xoshiro import (
         init_rng, next_sample_2d, next_sample_3d,
     )
+    from directcomputeraytracing_tpu.scene.presets import sphere_grid
+    from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+    out = {}
+    for label, n in (("36k", 5), ("212k", 12)):
+        scene, cam = sphere_grid(n, n)
+        arrays, meta = flatten_scene(scene)
+        w = h = 1024
+        nrays = w * h
+        cfg = RenderConfig(width=w, height=h, max_bounce=1,
+                           stack_size=meta.stack_size,
+                           light_count=meta.light_count)
+        px, py = full_frame_pixels(cfg)
+
+        @jax.jit
+        def make_rays(seed):
+            rng = init_rng(px, py, seed)
+            rng, jitter = next_sample_2d(rng)
+            res = jnp.asarray([w, h], jnp.float32)
+            pix = jnp.stack([px, py], -1).astype(jnp.float32)
+            rng, ap = next_sample_3d(rng)
+            return generate_ray(cam, (jitter + pix) / res, ap)
+
+        o, d = jax.block_until_ready(make_rays(jnp.uint32(0)))
+
+        @jax.jit
+        def ext(o, d):
+            hit = intersect_closest(arrays, o, d, cfg.stack_size)
+            return hit.t.sum()
+
+        # shadow rays: from slightly-advanced camera origins toward the
+        # area light, finite t_max (the any-hit kernel's own regime)
+        light_p = jnp.asarray([0.0, 6.0, 0.0], jnp.float32)
+
+        @jax.jit
+        def shadow(o, d):
+            org = o + 0.5 * d
+            wi = light_p[None, :] - org
+            dist = jnp.linalg.norm(wi, axis=-1, keepdims=True)
+            wi = wi / jnp.maximum(dist, 1e-6)
+            occ = intersect_any(arrays, org, wi, dist[:, 0],
+                                cfg.stack_size)
+            return occ.sum()
+
+        t_ext = _timed(lambda: jax.block_until_ready(ext(o, d)))
+        t_shd = _timed(lambda: jax.block_until_ready(shadow(o, d)))
+        out[f"mrays_{label}_closest"] = nrays / t_ext / 1e6
+        out[f"mrays_{label}_any"] = nrays / t_shd / 1e6
+        out[f"mrays_{label}_combined"] = 2 * nrays / (t_ext + t_shd) / 1e6
+        del arrays
+    return out
+
+
+def cornell_metrics():
+    import jax
+    import jax.numpy as jnp
+
+    from directcomputeraytracing_tpu.integrator.common import RenderConfig
+    from directcomputeraytracing_tpu.integrator.megakernel import (
+        full_frame_pixels, render_samples_accumulated,
+    )
+    from directcomputeraytracing_tpu.lut.bake import bake_luts_cached
     from directcomputeraytracing_tpu.scene.presets import cornell_box
     from directcomputeraytracing_tpu.scene.scene import flatten_scene
 
     scene, cam = cornell_box(light="area", material_set="glossy")
     arrays, meta = flatten_scene(scene)
-
-    # ---- traversal throughput: camera rays for an 8M-ray batch ----------
-    # (large batch amortizes the fixed per-dispatch host->device latency)
-    w, h = 4096, 2048
-    n = w * h
-    cfg = RenderConfig(width=w, height=h, max_bounce=4,
+    cfg = RenderConfig(width=256, height=256, max_bounce=4,
                        stack_size=meta.stack_size,
                        light_count=meta.light_count)
     px, py = full_frame_pixels(cfg)
-
-    @jax.jit
-    def make_rays(seed):
-        rng = init_rng(px, py, seed)
-        rng, jitter = next_sample_2d(rng)
-        res = jnp.asarray([w, h], jnp.float32)
-        pix = jnp.stack([px, py], -1).astype(jnp.float32)
-        rng, ap = next_sample_3d(rng)
-        return generate_ray(cam, (jitter + pix) / res, ap)
-
-    @jax.jit
-    def trace(o, d):
-        hit = intersect_closest(arrays, o, d, cfg.stack_size)
-        return hit.t.sum()  # consume
-
-    o, d = jax.block_until_ready(make_rays(jnp.uint32(0)))
-    jax.block_until_ready(trace(o, d))  # compile
-    reps = 4
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(trace(o, d))
-    dt = (time.perf_counter() - t0) / reps
-    mrays = n / dt / 1e6
-
-    # ---- end-to-end spp/sec: Cornell 256x256 full path loop, 8 spp fused
-    # into each dispatch (amortizes the fixed tunnel dispatch latency)
-    from directcomputeraytracing_tpu.integrator.megakernel import (
-        render_samples_accumulated,
-    )
-
-    cfg2 = RenderConfig(width=256, height=256, max_bounce=4,
-                        stack_size=meta.stack_size,
-                        light_count=meta.light_count)
-    px2, py2 = full_frame_pixels(cfg2)
-    luts = placeholder_luts()
+    luts = bake_luts_cached()
     fuse = 8
 
     def sample(seed):
-        out = render_samples_accumulated(arrays, luts, cam, cfg2, px2,
-                                         py2, seed, fuse)
-        # force a device->host readback: through the remote-device tunnel
-        # block_until_ready alone can under-report
-        return float(out.sum())
+        out = render_samples_accumulated(arrays, luts, cam, cfg, px, py,
+                                         seed, fuse)
+        return float(out.sum())   # device->host readback
 
     sample(jnp.uint32(0))
-    reps2 = 3
+    reps = 3
     t0 = time.perf_counter()
-    for k in range(reps2):
+    for k in range(reps):
         sample(jnp.uint32((k + 1) * fuse))
-    spp_sec = reps2 * fuse / (time.perf_counter() - t0)
+    spp_sec = reps * fuse / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    done = 0
+    while done < 16:
+        sample(jnp.uint32(100 + done))
+        done += fuse
+    t16 = time.perf_counter() - t0
+    return {"cornell256_spp_per_sec": spp_sec,
+            "cornell256_time_to_16spp_s": t16}
 
+
+def standin_metrics():
+    """BASELINE.md headline row: the 212k-tri Mitsuba XML stand-in.
+    1080p megakernel ms/spp, plus a megakernel-vs-wavefront RMSE gate
+    at a reduced size (the two integrators are mutual oracles)."""
+    import jax.numpy as jnp
+
+    from directcomputeraytracing_tpu.integrator.renderer import Renderer
+    from directcomputeraytracing_tpu.scene.standin import (
+        write_standin_scene,
+    )
+    from directcomputeraytracing_tpu.scene.xml_loader import (
+        load_mitsuba_xml,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        xml = write_standin_scene(d)
+        scene, settings = load_mitsuba_xml(xml)
+    cam = settings.camera
+
+    r = Renderer(scene, cam, width=1920, height=1080,
+                 max_bounce=4, any_hit=True)
+    r.render(spp=1)  # compile + 1 spp
+    t0 = time.perf_counter()
+    r.render(spp=2)
+    ms_per_spp = (time.perf_counter() - t0) / 2 * 1e3
+
+    rm = Renderer(scene, cam, width=256, height=144, max_bounce=3,
+                  any_hit=True, seed_mode="fixed")
+    rw = Renderer(scene, cam, width=256, height=144, max_bounce=3,
+                  any_hit=True, seed_mode="fixed",
+                  integrator="wavefront")
+    im = np.asarray(rm.render(spp=8))
+    iw = np.asarray(rw.render(spp=8))
+    rmse = float(np.sqrt(np.mean((im - iw) ** 2)))
+    return {"standin1080p_megakernel_ms_per_spp": ms_per_spp,
+            "standin_rmse_mk_vs_wf": rmse}
+
+
+def main():
+    import jax
+
+    extra = {"device": str(jax.devices()[0].platform)}
+    tm = traversal_metrics()
+    extra.update({k: round(v, 3) for k, v in tm.items()})
+    for fn in (cornell_metrics, standin_metrics):
+        try:
+            extra.update({k: round(v, 4) for k, v in fn().items()})
+        except Exception as e:  # never lose the headline line
+            extra[f"{fn.__name__}_error"] = repr(e)[:200]
+    headline = tm["mrays_212k_combined"]
     print(json.dumps({
         "metric": "bvh_traversal_mrays_per_sec",
-        "value": round(float(mrays), 3),
+        "value": round(float(headline), 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(float(mrays) / 100.0, 4),
-        "extra": {
-            "cornell256_spp_per_sec": round(float(spp_sec), 3),
-            "device": str(jax.devices()[0].platform),
-        },
+        "vs_baseline": round(float(headline) / 100.0, 4),
+        "extra": extra,
     }))
 
 

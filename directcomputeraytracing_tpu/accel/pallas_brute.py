@@ -33,11 +33,72 @@ TRI_SLAB = 128
 BIG = 3.0e38
 
 
+def watertight_rows(c, ox, oy, oz, dx, dy, dz, t_min, t_max):
+    """(slab, RB) PBRT watertight permute+shear triangle test
+    (reference: RayPrimitiveIntersect.inc.hlsl:7-70 under
+    WATERTIGHT_RAY_TRIANGLE_INTERSECTION). c(i) -> (slab, 1) triangle
+    table column; ray components (1, RB). ~2x the Moeller op count —
+    the opt-in crack-free mode, same lane layout.
+
+    Returns (t, u, v, back, ok) matching the Moeller helpers (u/v are
+    the reference's barycentrics b1/b2 normalized by det)."""
+    v0x, v0y, v0z = c(0), c(1), c(2)
+    v1x, v1y, v1z = c(3), c(4), c(5)
+    v2x, v2y, v2z = c(6), c(7), c(8)
+    ax_, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    kz0 = jnp.where((ax_ >= ay) & (ax_ >= az), 0,
+                    jnp.where(ay >= az, 1, 2))           # (1, RB)
+
+    def pr(x, y, z, k):
+        """Per-ray component pick of a ray-space vector."""
+        return jnp.where(k == 0, x, jnp.where(k == 1, y, z))
+
+    kx0 = jnp.where(kz0 == 2, 0, kz0 + 1)
+    ky0 = jnp.where(kx0 == 2, 0, kx0 + 1)
+    d_z = pr(dx, dy, dz, kz0)
+    inv_z = 1.0 / jnp.where(jnp.abs(d_z) < 1e-30, 1e-30, d_z)
+    sx = -pr(dx, dy, dz, kx0) * inv_z
+    sy = -pr(dx, dy, dz, ky0) * inv_z
+
+    def shear(vx, vy, vz):
+        # p = v - o, permuted per ray then sheared: (slab, RB) each
+        px_ = pr(vx - ox, vy - oy, vz - oz, kx0)
+        py_ = pr(vx - ox, vy - oy, vz - oz, ky0)
+        pz_ = pr(vx - ox, vy - oy, vz - oz, kz0)
+        return px_ + sx * pz_, py_ + sy * pz_, pz_
+
+    p0x, p0y, p0z = shear(v0x, v0y, v0z)
+    p1x, p1y, p1z = shear(v1x, v1y, v1z)
+    p2x, p2y, p2z = shear(v2x, v2y, v2z)
+    e0 = p1x * p2y - p2x * p1y
+    e1 = p2x * p0y - p0x * p2y
+    e2 = p0x * p1y - p1x * p0y
+    mixed = (((e0 < 0.0) | (e1 < 0.0) | (e2 < 0.0))
+             & ((e0 > 0.0) | (e1 > 0.0) | (e2 > 0.0)))
+    det = e0 + e1 + e2
+    det_ok = det != 0.0
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    t = (e0 * p0z + e1 * p1z + e2 * p2z) * inv_z * inv_det
+    u = e1 * inv_det
+    v = e2 * inv_det
+    back = jnp.sign(inv_z) * det < 0.0
+    # degenerate rows (zero cross product) never hit
+    cx = (v1y - v0y) * (v2z - v0z) - (v1z - v0z) * (v2y - v0y)
+    cy = (v1z - v0z) * (v2x - v0x) - (v1x - v0x) * (v2z - v0z)
+    cz = (v1x - v0x) * (v2y - v0y) - (v1y - v0y) * (v2x - v0x)
+    degenerate = (cx * cx + cy * cy + cz * cz) == 0.0
+    ok = (~mixed & det_ok & ~degenerate & (t >= t_min) & (t < t_max))
+    return t, u, v, back, ok
+
+
 def _moeller_slab(tab, base, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                  slab=TRI_SLAB):
-    """One (slab, RB) Moeller-Trumbore batch. Ray components are
-    (1, RB); triangle components (slab, 1)."""
+                  slab=TRI_SLAB, watertight=False):
+    """One (slab, RB) Moeller-Trumbore batch (or the watertight test
+    when requested). Ray components are (1, RB); triangle components
+    (slab, 1)."""
     c = lambda i: tab[pl.ds(base, slab), i:i + 1]        # (slab, 1)
+    if watertight:
+        return watertight_rows(c, ox, oy, oz, dx, dy, dz, t_min, t_max)
     v0x, v0y, v0z = c(0), c(1), c(2)
     v1x, v1y, v1z = c(3), c(4), c(5)
     v2x, v2y, v2z = c(6), c(7), c(8)
@@ -64,7 +125,7 @@ def _moeller_slab(tab, base, ox, oy, oz, dx, dy, dz, t_min, t_max,
     return t, u, v, back, ok
 
 
-def _closest_kernel(n_slabs, tab_ref, o_ref, d_ref, tmin_ref, out_ref):
+def _closest_kernel(n_slabs, wt, tab_ref, o_ref, d_ref, tmin_ref, out_ref):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]   # (1, RB)
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0, 0]
@@ -75,7 +136,8 @@ def _closest_kernel(n_slabs, tab_ref, o_ref, d_ref, tmin_ref, out_ref):
         t_b, u_b, v_b, tri_b, inst_b, back_b = carry
         base = pl.multiple_of(k * TRI_SLAB, TRI_SLAB)
         t, u, v, back, ok = _moeller_slab(
-            tab_ref, base, ox, oy, oz, dx, dy, dz, t_min, t_b)
+            tab_ref, base, ox, oy, oz, dx, dy, dz, t_min, t_b,
+            watertight=wt)
         tm = jnp.where(ok, t, BIG)
         slab_min = jnp.min(tm, axis=0, keepdims=True)          # (1, RB)
         better = slab_min < t_b
@@ -114,7 +176,7 @@ def _closest_kernel(n_slabs, tab_ref, o_ref, d_ref, tmin_ref, out_ref):
     out_ref[5:6, :] = back_b
 
 
-def _any_kernel(n_slabs, tab_ref, o_ref, d_ref, tmax_ref, tmin_ref,
+def _any_kernel(n_slabs, wt, tab_ref, o_ref, d_ref, tmax_ref, tmin_ref,
                 occ_ref):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
@@ -125,7 +187,8 @@ def _any_kernel(n_slabs, tab_ref, o_ref, d_ref, tmax_ref, tmin_ref,
     def body(k, occ):
         base = pl.multiple_of(k * TRI_SLAB, TRI_SLAB)
         _, _, _, _, ok = _moeller_slab(
-            tab_ref, base, ox, oy, oz, dx, dy, dz, t_min, t_max)
+            tab_ref, base, ox, oy, oz, dx, dy, dz, t_min, t_max,
+            watertight=wt)
         return occ | jnp.any(ok, axis=0, keepdims=True)
 
     occ = jax.lax.fori_loop(0, n_slabs, body,
@@ -154,9 +217,10 @@ def _prep_rays(origin, direction):
     return o, d, r
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "watertight"))
 def brute_closest_pallas(scene, origin, direction, t_min=0.0,
-                         interpret=False):
+                         interpret=False, watertight=False):
     """Closest-hit over the world-triangle soup. Returns
     (t, u, v, tri, inst, backface) with t = +inf on miss."""
     o, d, r = _prep_rays(origin, direction)
@@ -164,7 +228,7 @@ def brute_closest_pallas(scene, origin, direction, t_min=0.0,
     tab = _build_table(scene)
     n_slabs = tab.shape[0] // TRI_SLAB
     out = pl.pallas_call(
-        functools.partial(_closest_kernel, n_slabs),
+        functools.partial(_closest_kernel, n_slabs, watertight),
         grid=(rp // RAY_BLOCK,),
         in_specs=[
             pl.BlockSpec(tab.shape, lambda i: (0, 0),
@@ -186,9 +250,10 @@ def brute_closest_pallas(scene, origin, direction, t_min=0.0,
     return t, u, v, tri.astype(I32), inst.astype(I32), back > 0.5
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "watertight"))
 def brute_any_pallas(scene, origin, direction, t_max, t_min=0.0,
-                     interpret=False):
+                     interpret=False, watertight=False):
     """Occlusion query over the world-triangle soup -> (R,) bool."""
     o, d, r = _prep_rays(origin, direction)
     rp = o.shape[1]
@@ -197,7 +262,7 @@ def brute_any_pallas(scene, origin, direction, t_max, t_min=0.0,
     tab = _build_table(scene)
     n_slabs = tab.shape[0] // TRI_SLAB
     occ = pl.pallas_call(
-        functools.partial(_any_kernel, n_slabs),
+        functools.partial(_any_kernel, n_slabs, watertight),
         grid=(rp // RAY_BLOCK,),
         in_specs=[
             pl.BlockSpec(tab.shape, lambda i: (0, 0),
@@ -357,7 +422,7 @@ def _cull_masks(scene_ctab_cbox, o, d, interpret=False):
     return mask, gmask
 
 
-def _clustered_closest_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
+def _clustered_closest_kernel(wt, ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
                               tmin_ref, out_ref, t_scr, u_scr, v_scr,
                               tri_scr, inst_scr, back_scr, ctab_vmem,
                               dma_sem):
@@ -397,7 +462,7 @@ def _clustered_closest_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
                 base = pl.multiple_of(g * CLUSTER_SIZE, CLUSTER_SIZE)
                 t, u, v, back, ok = _moeller_slab(
                     ctab_vmem, base, ox, oy, oz, dx, dy, dz, t_min, t_b,
-                    slab=CLUSTER_SIZE)
+                    slab=CLUSTER_SIZE, watertight=wt)
                 tm = jnp.where(ok, t, BIG)
                 slab_min = jnp.min(tm, axis=0, keepdims=True)
                 better = slab_min < t_b
@@ -440,7 +505,7 @@ def _clustered_closest_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
         out_ref[5:6, :] = back_scr[:]
 
 
-def _clustered_any_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
+def _clustered_any_kernel(wt, ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
                           tmax_ref, tmin_ref, occ_ref, occ_scr, ctab_vmem,
                           dma_sem):
     k = pl.program_id(1)
@@ -470,7 +535,7 @@ def _clustered_any_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
                 base = pl.multiple_of(g * CLUSTER_SIZE, CLUSTER_SIZE)
                 _, _, _, _, ok = _moeller_slab(
                     ctab_vmem, base, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                    slab=CLUSTER_SIZE)
+                    slab=CLUSTER_SIZE, watertight=wt)
                 hit = jnp.any(ok, axis=0, keepdims=True)
                 occ_scr[:] = jnp.maximum(occ_scr[:],
                                          jnp.where(hit, 1.0, 0.0))
@@ -484,9 +549,10 @@ def _clustered_any_kernel(ctab_ref, cmask_ref, gmask_ref, o_ref, d_ref,
         occ_ref[0:1, :] = occ_scr[:] > 0.5
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "watertight"))
 def clustered_closest_pallas(scene, origin, direction, t_min=0.0,
-                             interpret=False):
+                             interpret=False, watertight=False):
     """Closest-hit via the cull + clustered-sweep kernels."""
     o, d, r = _prep_rays(origin, direction)
     rp = o.shape[1]
@@ -500,7 +566,7 @@ def clustered_closest_pallas(scene, origin, direction, t_min=0.0,
     ray_spec = pl.BlockSpec((3, RAY_BLOCK), lambda i, k: (0, i),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _clustered_closest_kernel,
+        functools.partial(_clustered_closest_kernel, watertight),
         grid=(rp // RAY_BLOCK, n_groups),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -530,9 +596,10 @@ def clustered_closest_pallas(scene, origin, direction, t_min=0.0,
     return t, u, v, tri.astype(I32), inst.astype(I32), back > 0.5
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "watertight"))
 def clustered_any_pallas(scene, origin, direction, t_max, t_min=0.0,
-                         interpret=False):
+                         interpret=False, watertight=False):
     """Occlusion via the cull + clustered-sweep kernels."""
     o, d, r = _prep_rays(origin, direction)
     rp = o.shape[1]
@@ -548,7 +615,7 @@ def clustered_any_pallas(scene, origin, direction, t_max, t_min=0.0,
     col_spec = pl.BlockSpec((1, RAY_BLOCK), lambda i, k: (0, i),
                             memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
-        _clustered_any_kernel,
+        functools.partial(_clustered_any_kernel, watertight),
         grid=(rp // RAY_BLOCK, n_groups),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),

@@ -552,14 +552,10 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                       backend="auto", watertight=False, opacity_u=None,
                       alpha_textures=False):
     """Closest-hit over the scene. origin/direction: (R, 3) f32.
-    watertight selects the PBRT permute+shear triangle test (XLA backends
-    only; the Pallas kernels use Moeller/Woop tests, so auto downgrades
-    to 'brute'/'jax' when watertight is requested). Alpha testing
-    (opacity_u, incl. textured) runs on the Pallas fast path through the
+    watertight selects the PBRT permute+shear triangle test (all
+    backends, incl. the Pallas kernels). Alpha testing (opacity_u,
+    incl. textured) runs on the Pallas fast path through the
     `_alpha_recast` loop."""
-    if watertight and backend in (
-            "auto", "pallas", "pallas_cluster", "pallas_wl"):
-        backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
     if (opacity_u is not None and alpha_textures
             and backend not in _PALLAS_BACKENDS):
@@ -574,12 +570,14 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
             from .pallas_brute import brute_closest_pallas as cast
         if opacity_u is None:
             t, u, v, tri, inst, back = cast(
-                scene, origin, direction, t_min, interpret=interp)
+                scene, origin, direction, t_min, interpret=interp,
+                watertight=watertight)
         else:
             t, u, v, tri, inst, back, _ = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
-                lambda o, d: cast(scene, o, d, t_min, interpret=interp))
+                lambda o, d: cast(scene, o, d, t_min, interpret=interp,
+                                  watertight=watertight))
         return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
                        backface=back, hit=jnp.isfinite(t),
                        iterations=jnp.zeros_like(tri))
@@ -607,9 +605,6 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
     Alpha-tested occlusion on the Pallas path runs the `_alpha_recast`
     closest-hit loop (the opaque any-hit kernels cannot report WHICH
     surface occluded, which the alpha test needs)."""
-    if watertight and backend in (
-            "auto", "pallas", "pallas_cluster", "pallas_wl"):
-        backend = "brute" if scene.world_tris.shape[0] > 1 else "jax"
     backend = _resolve_backend(scene, backend)
     if (opacity_u is not None and alpha_textures
             and backend not in _PALLAS_BACKENDS):
@@ -627,10 +622,11 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
             from .pallas_brute import brute_closest_pallas as cast_c
         if opacity_u is None:
             return cast_any(scene, origin, direction, t_max, t_min,
-                            interpret=interp)
+                            interpret=interp, watertight=watertight)
         occ = _alpha_recast(
             scene, origin, direction, t_min, opacity_u, alpha_textures,
-            lambda o, d: cast_c(scene, o, d, t_min, interpret=interp),
+            lambda o, d: cast_c(scene, o, d, t_min, interpret=interp,
+                                watertight=watertight),
             t_max=t_max)[6]
         return occ
     if backend == "brute":

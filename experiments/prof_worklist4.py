@@ -46,7 +46,7 @@ def main():
     od, odt, _, r = wl._prep_rays_wl(*odpair)
     od, odt = jax.block_until_ready((od, odt))
     nb = od.shape[1] // wl.RB
-    ctab, cbox3, sboxv, cpad, cs = wl._pad_tables(arrays)
+    ctab, cbox3, sboxv, cpad, cs, _hyper = wl._pad_tables(arrays)
     cap_s = wl._capacity(nb, cs)
     print(f"tris={arrays.world_tris.shape[0]} blocks={nb} "
           f"clusters={cpad} supers={cs} cap_s={cap_s}")

@@ -99,7 +99,7 @@ def test_super_cull_is_exact(grid_scene):
     arrays, meta = grid_scene
     o, d = _rays(4 * wl.RB, seed=9)
     _, odt, _, _ = wl._prep_rays_wl(o, d)
-    _, _, sboxv, cpad, cs = wl._pad_tables(arrays)
+    _, _, sboxv, cpad, cs, _ = wl._pad_tables(arrays)
     kern = np.asarray(wl._cull_super(sboxv, odt, interpret=True))
     mirror = np.asarray(wl._exact_tlo_super(sboxv, odt))
     np.testing.assert_allclose(kern, mirror, rtol=1e-6, atol=1e-6)
@@ -124,7 +124,7 @@ def test_super_cull_tmax_prunes(grid_scene):
     _, odt_inf, _, _ = wl._prep_rays_wl(o, d)
     cap = 5.0   # well short of the geometry
     _, odt_cap, _, _ = wl._prep_rays_wl(o, d, t_max=cap)
-    _, _, sboxv, _, _ = wl._pad_tables(arrays)
+    _, _, sboxv, _, _, _ = wl._pad_tables(arrays)
     full = np.asarray(wl._cull_super(sboxv, odt_inf, interpret=True))
     capped = np.asarray(wl._cull_super(sboxv, odt_cap, interpret=True))
     # capping can only remove entries (or keep entry distance equal)
@@ -135,3 +135,69 @@ def test_super_cull_tmax_prunes(grid_scene):
     assert not (capped[(full > cap + 1e-3) & (full < wl.BIG)]
                 < wl.BIG).any()
     assert entered.sum() < (full < wl.BIG).sum()
+
+
+def test_hierarchical_phase_a_matches_dense(monkeypatch):
+    """Above HIER_MIN supers phase A goes hyper->super hierarchical;
+    the produced (block, super, t_ent) item set must be identical to
+    the dense cull's."""
+    import numpy as np
+
+    from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+    scene, _ = sphere_grid(6, 6)
+    arrays, _meta = flatten_scene(scene)
+    rng = np.random.default_rng(3)
+    r = 2 * wl.RB
+    o = rng.uniform(-8, 8, (r, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 9.0, r)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    od, odt, _, _ = wl._prep_rays_wl(jnp.asarray(o), jnp.asarray(d))
+
+    # force the hierarchy on at this scene scale
+    monkeypatch.setattr(wl, "HIER_MIN", 48)
+    _, _, sboxv, _, cs, hyper = wl._pad_tables(arrays)
+    assert hyper is not None, "scene too small to exercise the hierarchy"
+
+    def items(phases_out):
+        bf, sup, t_ent = phases_out[2], phases_out[3], phases_out[4]
+        bf, sup, t_ent = map(np.asarray, (bf, sup, t_ent))
+        valid = (bf & 1) == 1
+        blk = bf[valid] >> wl._BLOCK_SHIFT
+        return set(zip(blk.tolist(), sup[valid].tolist(),
+                       t_ent[valid].tolist()))
+
+    hier = wl._phases(arrays, od, odt, interpret=True)
+    assert bool(hier[5])  # fits
+    monkeypatch.setattr(wl, "HIER_MIN", 10**9)
+    dense = wl._phases(arrays, od, odt, interpret=True)
+    assert bool(dense[5])
+    assert items(hier) == items(dense)
+
+
+def test_watertight_on_pallas_matches_stack(grid_scene):
+    """watertight=True must run on the Pallas fast path (no silent
+    demotion) and agree with the stack walker's watertight test."""
+    arrays, meta = grid_scene
+    o, d = _rays(256)
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax",
+                          watertight=True)
+    b = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wl_interpret", watertight=True)
+    np.testing.assert_array_equal(np.asarray(b.hit), np.asarray(a.hit))
+    m = np.asarray(a.hit)
+    np.testing.assert_allclose(np.asarray(b.t)[m], np.asarray(a.t)[m],
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(b.triangle)[m],
+                                  np.asarray(a.triangle)[m])
+    np.testing.assert_array_equal(np.asarray(b.backface)[m],
+                                  np.asarray(a.backface)[m])
+
+    from directcomputeraytracing_tpu.accel.traverse import intersect_any
+
+    oa = intersect_any(arrays, o, d, 3.0, meta.stack_size, backend="jax",
+                       watertight=True)
+    ob = intersect_any(arrays, o, d, 3.0, meta.stack_size,
+                       backend="pallas_wl_interpret", watertight=True)
+    np.testing.assert_array_equal(np.asarray(ob), np.asarray(oa))
