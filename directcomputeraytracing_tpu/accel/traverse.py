@@ -493,7 +493,12 @@ def _alpha_recast(scene, origin, direction, t_min, opacity_u,
         (k, done, cur_o, t_base, out_t, out_u, out_v, out_tri, out_inst,
          out_back, occ) = s
         o_eff = jnp.where(done[:, None], park, cur_o)
-        t, u, v, tri, inst, back = cast_closest(o_eff, direction)
+        # parked rays also point AWAY from the scene (+x from a far +
+        # origin) — with their own direction they could still enter
+        # cluster boxes at t ~ park distance and waste sweeps
+        d_eff = jnp.where(done[:, None],
+                          jnp.asarray([1.0, 0.0, 0.0], F32), direction)
+        t, u, v, tri, inst, back = cast_closest(o_eff, d_eff)
         hit = jnp.isfinite(t)
         opac, opaque = effective_opacity(scene, tri, inst, u, v,
                                          alpha_textures)

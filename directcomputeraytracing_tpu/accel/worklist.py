@@ -92,6 +92,15 @@ def _prep_rays_wl(origin, direction, t_max=None):
     r = origin.shape[0]
     quantum = 8 * RB
     pad = -(-r // quantum) * quantum - r
+    # sanitize: dead integrator lanes carry inf/NaN origins or zero
+    # directions — park them on the never-hits ray instead of feeding
+    # non-finite values into the cull/sort pipeline
+    bad = ~(jnp.all(jnp.isfinite(origin), axis=1)
+            & jnp.all(jnp.isfinite(direction), axis=1)
+            & (jnp.sum(direction * direction, axis=1) > 0.0))
+    origin = jnp.where(bad[:, None], _FAR, origin)
+    direction = jnp.where(bad[:, None],
+                          jnp.asarray([1.0, 0.0, 0.0], F32), direction)
     o = jnp.concatenate([origin, jnp.full((pad, 3), _FAR, F32)], axis=0)
     d = jnp.concatenate(
         [direction, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], F32),

@@ -114,6 +114,24 @@ def load_scene(spec):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     t0 = time.time()
+
+    # persistent compile cache: repeat renders of the same shapes skip
+    # the multi-minute XLA compiles (the analogue of the reference
+    # keeping compiled shader blobs warm across runs)
+    import os
+    import tempfile
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("DCRT_JAX_CACHE", os.path.join(
+                tempfile.gettempdir(), "dcrt_jaxcache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     scene, cam, settings = load_scene(args.scene)
 
     width, height = args.resx, args.resy

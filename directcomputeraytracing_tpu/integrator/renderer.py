@@ -113,9 +113,14 @@ class Renderer:
                 jnp.uint32(frame_seed))
         else:
             from .wavefront import render_samples_wavefront
+
+            # big frames stream in bounded dispatches (reference
+            # IterationPerFrame parity; also keeps each dispatch under
+            # the axon tunnel's duration limit, docs/KNOWN_ISSUES.md)
+            chunked = 16 if px.shape[0] > (1 << 17) else None
             pos, values = render_samples_wavefront(
                 self.arrays, self.luts, self.camera, self.cfg, px, py,
-                jnp.uint32(frame_seed))
+                jnp.uint32(frame_seed), iterations_per_dispatch=chunked)
         if self._inv is not None:
             pos = pos[self._inv]
             values = values[self._inv]

@@ -75,19 +75,76 @@ class PoolState(NamedTuple):
     out_val: jnp.ndarray    # (R, 3) radiance
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool_size"))
 def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
-                             pixel_y, frame_seed, pool_size=None):
+                             pixel_y, frame_seed, pool_size=None,
+                             iterations_per_dispatch=None):
     """Trace one sample per pixel; same contract as
-    megakernel.render_samples, computed through the path pool."""
+    megakernel.render_samples, computed through the path pool.
+
+    With iterations_per_dispatch=N the streaming loop runs as a host
+    loop of bounded N-iteration device dispatches — the reference's
+    m_IterationPerFrame chunking (WavefrontPathTracer.cpp:84, 470-473).
+    Besides frame pacing, bounded dispatches matter operationally: the
+    axon TPU tunnel kills single dispatches longer than a few minutes
+    (docs/KNOWN_ISSUES.md), which an unbounded 1080p pool drain hits.
+    None = one fused dispatch (fastest when it fits)."""
+    if iterations_per_dispatch is None:
+        return _render_whole(scene, luts, cam, cfg, pixel_x, pixel_y,
+                             frame_seed, pool_size)
     R = pixel_x.shape[0]
-    P = pool_size if pool_size is not None else min(R, 1 << 17)
-    env_idx = U32(cfg.env_light_index if cfg.has_env_light
-                  else LIGHT_INDEX_INVALID)
+    state = _init_state(scene, luts, cam, cfg, pixel_x, pixel_y,
+                        frame_seed, pool_size)
+    while True:
+        state = _chunk(scene, luts, cam, cfg, pixel_x, pixel_y,
+                       frame_seed, state, pool_size,
+                       int(iterations_per_dispatch))
+        if not (int(state.cursor) < R or bool(jnp.any(state.busy))):
+            break
+    return state.out_pos, state.out_val
 
-    rng0 = init_rng(jnp.zeros(P, U32), jnp.zeros(P, U32), frame_seed)
 
-    state = PoolState(
+@partial(jax.jit, static_argnames=("cfg", "pool_size"))
+def _init_state(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed,
+                pool_size=None):
+    return _make_state(cfg, pixel_x.shape[0], pool_size)
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool_size", "max_iters"))
+def _chunk(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, state,
+           pool_size, max_iters):
+    R = pixel_x.shape[0]
+    cond, step = _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y,
+                           frame_seed, R)
+
+    def cond2(carry):
+        s, j = carry
+        return cond(s) & (j < max_iters)
+
+    def step2(carry):
+        s, j = carry
+        return step(s), j + 1
+
+    out, _ = jax.lax.while_loop(cond2, step2, (state, jnp.int32(0)))
+    return out
+
+
+def _pool_capacity(R, pool_size):
+    if pool_size is not None:
+        return pool_size
+    # a pool ~R/4 keeps occupancy high while idle lanes refill
+    # (measured at 256^2 glossy Cornell: P=R/4 runs 90.8 ms/spp vs
+    # 167 at P=2R — within 1.12x of the megakernel's 80.9);
+    # clamped to [2^13, 2^16] so huge frames don't explode the
+    # iteration count and tiny frames still fill the vector units
+    quarter = max(R // 4, 1)
+    P = 1 << max(13, min(16, quarter.bit_length() - 1))
+    return min(P, 1 << (R - 1).bit_length())
+
+
+def _make_state(cfg, R, pool_size):
+    P = _pool_capacity(R, pool_size)
+    rng0 = init_rng(jnp.zeros(P, U32), jnp.zeros(P, U32), jnp.uint32(0))
+    return PoolState(
         rng=rng0,
         pixel=jnp.full(P, -1, I32),
         ray_o=jnp.zeros((P, 3), F32),
@@ -103,6 +160,24 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
         out_pos=jnp.zeros((R, 2), F32),
         out_val=jnp.zeros((R, 3), F32),
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool_size"))
+def _render_whole(scene, luts, cam, cfg: RenderConfig, pixel_x,
+                  pixel_y, frame_seed, pool_size=None):
+    R = pixel_x.shape[0]
+    state = _make_state(cfg, R, pool_size)
+    cond, step = _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y,
+                           frame_seed, R)
+    out = jax.lax.while_loop(cond, step, state)
+    return out.out_pos, out.out_val
+
+
+def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R):
+    """(cond, step) for the streaming loop — shared by the fused
+    single-dispatch path and the host-chunked driver."""
+    env_idx = U32(cfg.env_light_index if cfg.has_env_light
+                  else LIGHT_INDEX_INVALID)
 
     def cond(s):
         return (s.cursor < R) | jnp.any(s.busy)
@@ -257,8 +332,7 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
             busy=still, cursor=cursor_new, out_pos=out_pos,
             out_val=out_val)
 
-    out = jax.lax.while_loop(cond, step, state)
-    return out.out_pos, out.out_val
+    return cond, step
 
 
 def _m1(rng, active):

@@ -87,26 +87,54 @@ def _parse_index(s, n_v, n_vt, n_vn):
 
 
 def compute_tangents(positions, normals, texcoords, indices):
-    """Per-vertex tangents from UV gradients, orthonormalized against the
-    vertex normal (vectorized equivalent of the reference's MikkTSpace
-    pass for isotropic shading)."""
+    """Per-vertex tangents the MikkTSpace way, vectorized
+    (reference: MikkTSpace/mikktspace.c via WavefrontOBJLoading.cpp:
+    88-153): per-face UV-gradient tangents are accumulated per corner
+    weighted by the CORNER ANGLE (not area — MikkTSpace's defining
+    property, so long thin triangles don't dominate a vertex), split
+    by texture-space handedness (corners whose faces disagree in UV
+    winding average separately, mirrored-UV seams keep a consistent
+    frame), then Gram-Schmidt orthonormalized against the vertex
+    normal.
+
+    Remaining delta vs mikktspace.c: no neighborhood subgroup split
+    within a handedness class (affects only meshes that weld faces of
+    disagreeing smoothing groups onto one vertex)."""
     t_acc = np.zeros_like(positions)
-    p0 = positions[indices[:, 0]]
-    p1 = positions[indices[:, 1]]
-    p2 = positions[indices[:, 2]]
-    uv0 = texcoords[indices[:, 0]]
-    uv1 = texcoords[indices[:, 1]]
-    uv2 = texcoords[indices[:, 2]]
-    e1 = p1 - p0
-    e2 = p2 - p0
-    d1 = uv1 - uv0
-    d2 = uv2 - uv0
+    t_acc_f = np.zeros_like(positions)   # flipped-handedness class
+    w_pos = np.zeros(len(positions))
+    w_neg = np.zeros(len(positions))
+    p = [positions[indices[:, k]] for k in range(3)]
+    uv = [texcoords[indices[:, k]] for k in range(3)]
+    e1 = p[1] - p[0]
+    e2 = p[2] - p[0]
+    d1 = uv[1] - uv[0]
+    d2 = uv[2] - uv[0]
     det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
-    safe = np.where(np.abs(det) < 1e-12, 1.0, det)
-    r = np.where(np.abs(det) < 1e-12, 0.0, 1.0 / safe)
+    degen = np.abs(det) < 1e-12
+    r = np.where(degen, 0.0, 1.0 / np.where(degen, 1.0, det))
     tan = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * r[:, None]
+    tlen = np.linalg.norm(tan, axis=1, keepdims=True)
+    tan = np.where(tlen > 1e-12, tan / np.maximum(tlen, 1e-20), 0.0)
+    flipped = det < 0.0
     for k in range(3):
-        np.add.at(t_acc, indices[:, k], tan)
+        a = p[(k + 1) % 3] - p[k]
+        b = p[(k + 2) % 3] - p[k]
+        an = np.linalg.norm(a, axis=1)
+        bn = np.linalg.norm(b, axis=1)
+        cosang = np.sum(a * b, axis=1) / np.maximum(an * bn, 1e-20)
+        angle = np.arccos(np.clip(cosang, -1.0, 1.0))
+        wt = np.where(degen, 0.0, angle)
+        idx = indices[:, k]
+        np.add.at(t_acc, idx, tan * np.where(flipped, 0.0, wt)[:, None])
+        np.add.at(t_acc_f, idx, tan * np.where(flipped, wt, 0.0)[:, None])
+        np.add.at(w_pos, idx, np.where(flipped, 0.0, wt))
+        np.add.at(w_neg, idx, np.where(flipped, wt, 0.0))
+    # the dominant handedness class wins the vertex (a welded vertex on
+    # a mirrored-UV seam keeps the majority frame instead of a
+    # cancelled average)
+    use_flip = (w_neg > w_pos)[:, None]
+    t_acc = np.where(use_flip, t_acc_f, t_acc)
     # Gram-Schmidt against the normal
     t_acc -= normals * np.sum(t_acc * normals, axis=1, keepdims=True)
     lens = np.linalg.norm(t_acc, axis=1, keepdims=True)

@@ -19,11 +19,15 @@ from directcomputeraytracing_tpu.scene.scene import flatten_scene
 
 
 def timed(fn, reps=4):
-    jax.block_until_ready(fn(jnp.uint32(0)))
+    # force a host readback: through the remote-device tunnel
+    # block_until_ready alone under-reports
+    red = jax.jit(lambda o: jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(x.astype(jnp.float32)), o, 0.0))
+    float(red(fn(jnp.uint32(0))))
     best = 1e9
     for k in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(jnp.uint32(k + 1)))
+        float(red(fn(jnp.uint32(k + 1))))
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -111,3 +111,35 @@ def test_flattens_and_tangents(obj_scene):
     lens = np.linalg.norm(t, axis=1)
     assert np.all(dots < 1e-5)
     assert np.all((lens > 0.99) & (lens < 1.01))
+
+
+def test_tangents_angle_weighted_and_handedness_split():
+    """MikkTSpace properties: corner-angle weighting and per-handedness
+    accumulation (mirrored-UV faces must not cancel a shared vertex's
+    tangent to zero)."""
+    import numpy as np
+
+    from directcomputeraytracing_tpu.scene.obj_loader import (
+        compute_tangents,
+    )
+
+    # flat quad in the XZ plane, UVs aligned with +X -> tangent = +-X
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]],
+                     np.float32)
+    nrm = np.tile(np.asarray([[0, 1, 0]], np.float32), (4, 1))
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]])
+    tan = compute_tangents(pos, nrm, uv, idx)
+    assert np.allclose(np.abs(tan[:, 0]), 1.0, atol=1e-5)
+    assert np.allclose(tan[:, 1:], 0.0, atol=1e-5)
+
+    # vertex 0 shared by a mirrored-UV copy: the naive sum cancels,
+    # the handedness-split keeps the majority frame (two unmirrored
+    # faces vs one mirrored)
+    pos2 = np.concatenate([pos, np.asarray([[-1, 0, 0], [-1, 0, 1]],
+                                           np.float32)])
+    nrm2 = np.tile(np.asarray([[0, 1, 0]], np.float32), (6, 1))
+    uv2 = np.concatenate([uv, np.asarray([[1, 0], [1, 1]], np.float32)])
+    idx2 = np.asarray([[0, 1, 2], [0, 2, 3], [0, 3, 5], [0, 5, 4]])
+    tan2 = compute_tangents(pos2, nrm2, uv2, idx2)
+    assert np.linalg.norm(tan2[0]) > 0.5  # not cancelled

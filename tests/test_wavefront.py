@@ -55,3 +55,37 @@ def test_wavefront_small_pool_streams_pixels():
     pos_m, val_m, pos_w, val_w = _both("diffuse", "point", pool_size=128)
     np.testing.assert_array_equal(pos_w, pos_m)
     np.testing.assert_allclose(val_w, val_m, rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_dispatch_matches_whole():
+    """The host-chunked streaming driver (reference IterationPerFrame
+    parity) must produce bit-identical samples to the fused
+    single-dispatch loop."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from directcomputeraytracing_tpu.integrator.common import RenderConfig
+    from directcomputeraytracing_tpu.integrator.megakernel import (
+        full_frame_pixels,
+    )
+    from directcomputeraytracing_tpu.integrator.wavefront import (
+        render_samples_wavefront,
+    )
+    from directcomputeraytracing_tpu.lut.textures import placeholder_luts
+    from directcomputeraytracing_tpu.scene.presets import cornell_box
+    from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+    scene, cam = cornell_box(light="area")
+    arrays, meta = flatten_scene(scene)
+    cfg = RenderConfig(width=24, height=24, max_bounce=3,
+                       stack_size=meta.stack_size,
+                       light_count=meta.light_count)
+    px, py = full_frame_pixels(cfg)
+    luts = placeholder_luts()
+    pos_a, val_a = render_samples_wavefront(
+        arrays, luts, cam, cfg, px, py, jnp.uint32(7), pool_size=128)
+    pos_b, val_b = render_samples_wavefront(
+        arrays, luts, cam, cfg, px, py, jnp.uint32(7), pool_size=128,
+        iterations_per_dispatch=3)
+    np.testing.assert_array_equal(np.asarray(val_a), np.asarray(val_b))
+    np.testing.assert_array_equal(np.asarray(pos_a), np.asarray(pos_b))
