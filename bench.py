@@ -177,12 +177,11 @@ def standin_metrics():
 
     out = {}
     rm = Renderer(scene, cam, width=256, height=144, max_bounce=3,
-                  any_hit=True, seed_mode="fixed")
+                  any_hit=True)
     rw = Renderer(scene, cam, width=256, height=144, max_bounce=3,
-                  any_hit=True, seed_mode="fixed",
-                  integrator="wavefront")
-    im = np.asarray(rm.render(spp=8))
-    iw = np.asarray(rw.render(spp=8))
+                  any_hit=True, integrator="wavefront")
+    im = np.asarray(rm.render(spp=8, seed_mode="fixed"))
+    iw = np.asarray(rw.render(spp=8, seed_mode="fixed"))
     out["standin_rmse_mk_vs_wf"] = float(
         np.sqrt(np.mean((im - iw) ** 2)))
 
