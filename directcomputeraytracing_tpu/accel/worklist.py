@@ -2,12 +2,11 @@
 
 Re-designs the reference's per-thread stack-based two-level BVH descent
 (reference: Shaders/BVHAccel.inc.hlsl:85-232 — front-to-back child
-ordering, t_max pruning, small leaf loops) as a BREADTH-FIRST descent
-over ray *bundles*: every level of the box hierarchy is one generic
-Pallas refine kernel over a compacted work-item list, and the leaf
-level is a loop-free one-cluster-per-item Moeller sweep.
+ordering, t_max pruning, small leaf loops) for the TPU vector model as
+a bundle-synchronous descent over ray *bundles*:
 
-  hypercluster -> supercluster (SUPER clusters) -> cluster (16 tris)
+  hypercluster (adaptive fan-out) -> supercluster (SUPER clusters)
+      -> cluster (16 tris) -> triangle
 
  A. TOP CULL (Pallas, dense): EXACT per-ray slab test of every ray in
     an RB-ray bundle against every top-level AABB (hyperclusters for
@@ -16,33 +15,43 @@ level is a loop-free one-cluster-per-item Moeller sweep.
     enters, or every entering ray's t_max is closer — shadow rays cull
     everything past the light). Exactness matters: the round-1
     interval-arithmetic bundle cull admitted large false-positive sets.
- B. REFINE + EXPAND (per level): surviving (block, box) pairs compact
-    into work items via one cumsum+scatter (`_compact_pairs` /
-    `_expand_level`); `_refine_kernel` culls each item's children
-    exactly (children on sublanes, rays on lanes — full 128-lane
-    vregs), emitting the next level's entry distances. Only the FINAL
-    cluster-level list is sorted ((block, t_ent) two-key sort over the
-    item list — orders of magnitude cheaper than sorting cull grids).
- C. SWEEP (Pallas, `PrefetchScalarGridSpec`): grid = one step per
-    (block, cluster) item. Each step DMAs one 16-triangle slab via an
-    index map on the scalar-prefetched cluster ids (auto
-    double-buffered) and Moeller-tests it against the block's rays:
-      * the best hit is BIT-PACKED as (t & ~0xF) | row so one integer
-        min IS the argmin; the winner's EXACT t/u/v/triangle/instance/
-        facing are picked in-kernel by masked sums (replacing three
-        1M-row HBM gathers in the old post-pass, ~4x);
-      * items arrive front-to-back per block and the early-termination
-        bound lives in an SMEM scalar refreshed only when a body runs,
-        so skipped items cost a scalar compare;
-      * best-t starts at each ray's scene-bbox EXIT distance (not
-        +inf), so rays that miss everything stop blocking termination.
+ B. REFINE + COMPACT: surviving (block, hyper) pairs compact into work
+    items via one cumsum+scatter (`_compact_pairs`); `_refine_kernel`
+    culls each item's member supers exactly (boxes on sublanes, rays
+    on lanes — full 128-lane vregs), and `_expand_level` scatters the
+    surviving (block, super) items. The super item list is ordered
+    per-block front-to-back by ONE two-key sort over the item list
+    (orders of magnitude cheaper than sorting the full cull grid).
+ C. FUSED SWEEP (Pallas, `PrefetchScalarGridSpec`): grid = one step
+    per (block, super) item. Each step DMAs the super's child AABBs
+    and its SUPERx16-triangle slab via index maps on the
+    scalar-prefetched super ids (auto double-buffered). In-kernel:
+      1. exact per-ray slab test of the SUPER children, pruned against
+         each ray's CURRENT best t (the per-ray front-to-back pruning
+         the reference gets from its t_max test; expanding clusters
+         breadth-first WITHOUT this evolving prune measured 8x worse —
+         most clusters a ray's line pierces are behind its first hit);
+      2. a dynamic-trip-count loop Moeller-sweeps exactly the entered
+         16-triangle clusters from the VMEM-resident slab;
+      3. the best hit is BIT-PACKED as (t & ~_LOWM)|(child<<4)|row so
+         one integer min IS the argmin, and the winner's EXACT
+         t/u/v/triangle/instance/facing are picked in-kernel by masked
+         sums (replacing three 1M-row HBM gathers in the old
+         post-pass, ~4x);
+      4. items arrive front-to-back per block and the early-
+         termination bound lives in an SMEM scalar refreshed only when
+         a body runs, so skipped items cost a scalar compare. Best-t
+         starts at each ray's scene-bbox EXIT distance (not +inf), so
+         rays that miss everything stop blocking termination.
 
 Work-item encoding (scalar-prefetched to SMEM):
     blkflags (cap,) i32: bits[2,16) ray-block; bit1 first-of-run;
                          bit0 valid
-    clu      (cap,) i32: cluster id (index-maps the slab DMA)
+    sup      (cap,) i32: supercluster id (index-maps the box+slab DMA)
     t_ent    (cap,) f32: item entry distance (front-to-back key)
 
+Rays must arrive in compact-frustum order (8x128 pixel tiles): a
+raster-order 1024-ray bundle spans the image and measured ~10x slower.
 Capacities are static; a `lax.cond` falls back to the dense
 masked-sweep kernel when a dispatch's true item count overflows —
 correctness never depends on the capacity heuristics.
@@ -643,8 +652,8 @@ def _scene_exit(scene, od):
         t_hi = jnp.minimum(t_hi, jnp.maximum(a, b))
     tex = jnp.where((t_hi >= t_lo) & (t_hi >= 0.0), t_hi, 0.0)
     # the pad must exceed the packed-argmin truncation quantum
-    # (2^-13 relative) so a true hit at the scene-bbox exit still
-    # truncates strictly below the miss sentinel
+    # (_LOWM: ~2^-14 relative at SUPER=32) so a true hit at the
+    # scene-bbox exit still truncates strictly below the miss sentinel
     return (tex * 1.001 + 1e-3)[None, :]
 
 

@@ -139,8 +139,13 @@ class Renderer:
         seeds, megakernel sample passes fuse into multi-spp dispatches
         (samples_per_dispatch, default min(spp, 8)) to amortize dispatch
         latency; other configs fall back to one pass per sample."""
+        # alpha-tested scenes multiply per-sample traversal work (the
+        # re-cast loops), so cap the default fusion — a fused 6-spp
+        # dispatch on a 212k-tri alpha scene exceeded the tunnel's
+        # dispatch-duration limit (docs/KNOWN_ISSUES.md)
+        fuse_cap = 2 if self.cfg.any_hit else 8
         fuse = (samples_per_dispatch if samples_per_dispatch is not None
-                else min(spp, 8))
+                else min(spp, fuse_cap))
         can_fuse = (self._box_fast_path and seed_mode == SEED_SAMPLE_COUNT
                     and self.integrator == "megakernel" and fuse > 1)
         remaining = spp
