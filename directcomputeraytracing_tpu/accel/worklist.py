@@ -673,8 +673,7 @@ def _phases(scene, od, odt, interpret):
         hsup, hboxv, nh, hs = hyper
         cap_h = int(min(max(nb * 8, 1024), MAX_HYPER, nb * nh))
         tlo_h = _cull_super(hboxv, odt, interpret=interpret)
-        bfh, hyp, _th, total_h, block_any = _compact_pairs(tlo_h, nh,
-                                                           cap_h)
+        bfh, hyp, _th, total_h, _ = _compact_pairs(tlo_h, nh, cap_h)
         tlo_s = _refine_items(hsup, hs, bfh, hyp, od, tm_row, cap_h,
                               interpret)
         bf_s, sup, t_s, total_s = _expand_level(tlo_s, bfh, hyp, hs,
@@ -682,9 +681,17 @@ def _phases(scene, od, odt, interpret):
         fits = (total_h <= cap_h) & (total_s <= cap_s)
     else:
         tlo_sd = _cull_super(sboxv, odt, interpret=interpret)
-        bf_s, sup, t_s, total_s, block_any = _compact_pairs(
+        bf_s, sup, t_s, total_s, _ = _compact_pairs(
             tlo_sd, cs, cap_s)
         fits = total_s <= cap_s
+    # block_any must come from the FINAL super item list, not a coarser
+    # level: the refine can cull every super of a block whose looser
+    # hyper union-AABB was entered, and such a block gets no sweep item
+    # (no 'first' write) — its output rows must be masked as misses,
+    # never decoded (zero-filled buffers decode as t=0 false hits).
+    block_any = jnp.zeros((nb,), jnp.bool_).at[
+        jnp.clip(bf_s >> _BLOCK_SHIFT, 0, nb - 1)].max(
+        (bf_s & 1) == 1, mode="drop")
     blkflags, sup, t_ent = _finish_items(
         bf_s >> _BLOCK_SHIFT, sup, t_s, total_s, cap_s)
     return ctab, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s

@@ -240,8 +240,14 @@ def _translate_bsdf(node, defaults, ctx=None, two_sided=False,
         if _is_tex(op) and ctx is not None:
             op_tex = ctx.get_or_add(op[1])
             # bypass the scalar when a texture drives opacity
-            # (reference: SceneXMLLoading.cpp:766)
-            op = 1.0 if op_tex >= 0 else 1.0
+            # (reference: SceneXMLLoading.cpp:766); a texture that
+            # failed to load degrades to fully opaque, loudly
+            if op_tex < 0:
+                from ..utils.log import logger
+                logger.warning(
+                    "mask bsdf %s: opacity bitmap failed to load, "
+                    "falling back to opaque", name or "<anon>")
+            op = 1.0
         elif isinstance(op, np.ndarray):
             op = float(op.mean())
         else:

@@ -189,10 +189,13 @@ def load_exr(path):
             block = raw[:expect]
         else:
             dec = zlib.decompress(raw)
-            # EXR zip post-process: undo delta predictor, de-interleave
-            arr = np.frombuffer(dec, np.uint8).astype(np.int16)
-            arr = (np.cumsum(arr - 128, dtype=np.int64) % 256).astype(
-                np.uint8)
+            # EXR zip post-process: undo delta predictor, de-interleave.
+            # Spec: first byte raw, then out[i] = out[i-1] + raw[i] - 128
+            # => out = cumsum(raw - 128) + 128 (the +128 restores the
+            # first byte the blanket -128 took away).
+            arr = np.frombuffer(dec, np.uint8)
+            arr = ((np.cumsum(arr.astype(np.int64) - 128) + 128)
+                   % 256).astype(np.uint8)
             half = (len(arr) + 1) // 2
             out = np.empty(len(arr), np.uint8)
             out[0::2] = arr[:half]

@@ -128,7 +128,7 @@ def exr_bytes(img, compression, half=True):
             inter[half_n:] = arr[1::2]
             d = inter.astype(np.int16)
             d[1:] = (d[1:] - inter[:-1].astype(np.int16)) + 128
-            d[0] = int(inter[0]) + 128  # matches cumsum(x-128) decode
+            # spec-conformant: the first byte is stored raw
             comp = zlib.compress(d.astype(np.uint8).tobytes())
             payload = comp if len(comp) < len(rows) else rows
         blocks.append(struct.pack("<iI", y0, len(payload)) + payload)
@@ -237,8 +237,108 @@ def test_load_env_map_dispatch(tmp_path):
     assert np.allclose(back, img, rtol=0.05)
 
 
-def test_bc6h_stub_raises(tmp_path):
-    p = tmp_path / "g.dds"
-    p.write_bytes(_dds_header(4, 4, H._DXGI_BC6H_UF16) + b"\0" * 16)
-    with pytest.raises(NotImplementedError):
-        H.load_dds(str(p))
+def _bc6h_random_blocks(mode, nblk, rng):
+    blocks = rng.integers(0, 256, (nblk, 16), dtype=np.uint8)
+    keep = 0xFC if mode < 2 else 0xE0
+    blocks[:, 0] = (blocks[:, 0] & np.uint8(keep)) | np.uint8(mode)
+    return blocks
+
+
+def _pillow_bc6h(raw, w, h, signed):
+    import io
+
+    from PIL import Image
+
+    dxgi = H._DXGI_BC6H_SF16 if signed else H._DXGI_BC6H_UF16
+    data = _dds_header(w, h, dxgi) + raw
+    return np.asarray(Image.open(io.BytesIO(data)), dtype=np.float32)
+
+
+def test_bc6h_unsigned_matches_pillow_all_modes():
+    """Random blocks in each of the 14 modes must decode texel-for-
+    texel like Pillow's independent native BC6H decoder (its 8-bit
+    output is clip(v,0,1)*255; one grey step of tolerance covers the
+    rounding difference). This pins the bit-layout tables against an
+    implementation we did not write."""
+    from directcomputeraytracing_tpu.utils.bc6h import _MODES, decode_bc6h
+
+    rng = np.random.default_rng(0)
+    for mode in _MODES:
+        blocks = _bc6h_random_blocks(mode, 128, rng)
+        raw = blocks.tobytes()
+        w, h = 4 * 128, 4
+        pil = _pillow_bc6h(raw, w, h, signed=False)
+        mine = decode_bc6h(np.frombuffer(raw, np.uint8), w, h,
+                           signed=False)
+        assert np.isfinite(mine).all()
+        conv = np.clip(mine, 0.0, 1.0) * 255.0
+        err = np.abs(conv - pil)
+        assert err.max() <= 1.25, f"mode {mode:05b}: {err.max()}"
+
+
+def test_bc6h_signed_matches_pillow_no_overflow():
+    """SF16 agreement on blocks constrained so base+delta cannot
+    overflow (Pillow and the Khronos spec disagree on overflow wrap
+    semantics; we follow the spec's modulo-2^EPB arithmetic)."""
+    from directcomputeraytracing_tpu.utils.bc6h import (
+        _MODES, _PARSED, decode_bc6h,
+    )
+
+    rng = np.random.default_rng(1)
+    for mode in _MODES:
+        ns, wb, db, fields = _PARSED[mode]
+        blocks = _bc6h_random_blocks(mode, 128, rng)
+        # clear the top 2 bits of every endpoint field: base stays a
+        # small positive, deltas stay small positives -> no overflow,
+        # no negative endpoints (Pillow clamps negatives to 0 anyway)
+        dw = dict(zip("rgb", db if db is not None else (wb, wb, wb)))
+        for key, dlo, width, rev, src in fields:
+            if key == "d4":
+                continue
+            nb_ = wb if key[1] == "w" else dw[key[0]]
+            for i in range(width):
+                dst = (dlo + width - 1 - i) if rev else (dlo + i)
+                if dst >= nb_ - 2:
+                    bit = src + i
+                    blocks[:, bit // 8] &= np.uint8(0xFF ^ (1 << (bit % 8)))
+        raw = blocks.tobytes()
+        w, h = 4 * 128, 4
+        pil = _pillow_bc6h(raw, w, h, signed=True)
+        mine = decode_bc6h(np.frombuffer(raw, np.uint8), w, h,
+                           signed=True)
+        conv = np.clip(mine, 0.0, 1.0) * 255.0
+        err = np.abs(conv - pil)
+        assert err.max() <= 1.25, f"mode {mode:05b}: {err.max()}"
+
+
+def test_bc6h_reserved_modes_decode_black():
+    from directcomputeraytracing_tpu.utils.bc6h import decode_bc6h
+
+    rng = np.random.default_rng(2)
+    for mode in (0b10011, 0b10111, 0b11011, 0b11111):
+        blocks = _bc6h_random_blocks(mode, 4, rng)
+        out = decode_bc6h(np.frombuffer(blocks.tobytes(), np.uint8),
+                          16, 4, signed=False)
+        assert (out == 0.0).all()
+
+
+def test_bc6h_dds_load_and_cubemap(tmp_path):
+    """The full load_dds path accepts BC6H (DX10 header), including the
+    cubemap -> lat-long resample, and matches Pillow per face."""
+    rng = np.random.default_rng(3)
+    blocks = _bc6h_random_blocks(0b00011, 2 * 2, rng)
+    raw = blocks.tobytes()
+    p = tmp_path / "bc6.dds"
+    p.write_bytes(_dds_header(8, 8, H._DXGI_BC6H_UF16) + raw)
+    img = H.load_dds(str(p))
+    assert img.shape == (8, 8, 3) and np.isfinite(img).all()
+    pil = _pillow_bc6h(raw, 8, 8, signed=False)
+    assert np.abs(np.clip(img, 0, 1) * 255 - pil).max() <= 1.25
+
+    faces = [_bc6h_random_blocks(0b00011, 4, rng).tobytes()
+             for _ in range(6)]
+    pc = tmp_path / "bc6cube.dds"
+    pc.write_bytes(_dds_header(8, 8, H._DXGI_BC6H_UF16, cube=True)
+                   + b"".join(faces))
+    pano = H.load_dds(str(pc))
+    assert pano.shape == (16, 32, 3) and np.isfinite(pano).all()

@@ -176,6 +176,58 @@ def test_hierarchical_phase_a_matches_dense(monkeypatch):
     assert items(hier) == items(dense)
 
 
+def test_hyper_entered_but_supers_all_culled_is_a_miss(monkeypatch):
+    """A block whose hyper union-AABB is entered but whose member
+    supers are ALL refined away must decode as misses, not garbage:
+    block_any must come from the final super item list (regression for
+    the round-2 advisor finding — zero-filled untouched output rows
+    decode as t=0 false hits)."""
+    from directcomputeraytracing_tpu.scene.scene import (
+        Instance, Material, Mesh, Scene, flatten_scene,
+    )
+
+    rng = np.random.default_rng(17)
+
+    def tri_group(n, x0):
+        cen = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+        cen[:, 0] += x0
+        v = (cen[:, None, :]
+             + rng.uniform(-0.05, 0.05, (n, 3, 3))).astype(np.float32)
+        pos = v.reshape(-1, 3)
+        idx = np.arange(3 * n).reshape(n, 3)
+        return Mesh(positions=pos, indices=idx,
+                    material_ids=np.zeros(n, np.int64), name=f"g{x0}")
+
+    # two 1536-tri groups far apart along x: the first median split in
+    # the clusterer separates them exactly, so supers stay group-local
+    # while a hyper's union box covers the gap between them
+    scene = Scene(meshes=[tri_group(1536, 0.0), tri_group(1536, 30.0)],
+                  instances=[Instance(mesh=0), Instance(mesh=1)],
+                  materials=[Material()])
+    arrays, meta = flatten_scene(scene)
+    monkeypatch.setattr(wl, "HIER_MIN", 2)
+    _, _, _, _, cs, hyper = wl._pad_tables(arrays)
+    assert hyper is not None and cs >= 4
+
+    # one full RB block of rays through the inter-group gap: every ray
+    # enters the hyper union box, none enters any super box
+    n = wl.RB
+    o = np.tile(np.asarray([[15.5, 0.5, -5.0]], np.float32), (n, 1))
+    d = np.stack([rng.uniform(-0.01, 0.01, n),
+                  rng.uniform(-0.01, 0.01, n),
+                  np.ones(n)], axis=1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax")
+    b = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wl_interpret")
+    assert not np.asarray(a.hit).any()
+    assert not np.asarray(b.hit).any()
+    occ = intersect_any(arrays, o, d, jnp.float32(50.0), meta.stack_size,
+                        backend="pallas_wl_interpret")
+    assert not np.asarray(occ).any()
+
+
 def test_watertight_on_pallas_matches_stack(grid_scene):
     """watertight=True must run on the Pallas fast path (no silent
     demotion) and agree with the stack walker's watertight test."""
