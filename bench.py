@@ -111,6 +111,72 @@ def traversal_metrics():
     return out
 
 
+def kernel_check_metrics():
+    """Compiled-on-hardware kernel correctness gate (VERDICT r2 #4):
+    the pallas_wl / pallas_cluster kernels vs the XLA stack walker on
+    the driver's device. Interpret mode is a proven-insufficient
+    oracle (a K=4 dot_general formulation passed interpret and
+    miscompiled on the chip). The reference's analogue is its CPU
+    TraceRay vs GPU agreement (Source/SceneRayTrace.cpp:58-208)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from directcomputeraytracing_tpu.accel.traverse import (
+        intersect_any, intersect_closest,
+    )
+    from directcomputeraytracing_tpu.scene.presets import sphere_grid
+    from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+    scene, _cam = sphere_grid(5, 5)
+    arrays, meta = flatten_scene(scene)
+    rng = np.random.default_rng(0)
+    n = 4096
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 8.0, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    ref_c = intersect_closest(arrays, o, d, meta.stack_size,
+                              backend="jax")
+    ref_a = intersect_any(arrays, o, d, jnp.float32(4.0),
+                          meta.stack_size, backend="jax")
+    mism = 0
+    for backend in ("pallas_wl", "pallas_cluster"):
+        hc = intersect_closest(arrays, o, d, meta.stack_size,
+                               backend=backend)
+        ha = intersect_any(arrays, o, d, jnp.float32(4.0),
+                           meta.stack_size, backend=backend)
+        m_hit = np.asarray(hc.hit) != np.asarray(ref_c.hit)
+        both = np.asarray(hc.hit) & np.asarray(ref_c.hit)
+        rel = np.abs(np.asarray(hc.t)[both] - np.asarray(ref_c.t)[both])
+        rel /= np.maximum(np.asarray(ref_c.t)[both], 1e-6)
+        mism += int(m_hit.sum()) + int((rel > 1e-3).sum())
+        mism += int((np.asarray(ha) != np.asarray(ref_a)).sum())
+    return {"tpu_kernel_check_mismatches": float(mism)}
+
+
+def image_oracle_metrics():
+    """Independent-oracle image gate (VERDICT r2 #8): the default
+    renderer vs a brute-force-traversal render of the same scene at a
+    fixed seed. Unlike the megakernel-vs-wavefront row this crosses
+    traversal implementations, so it can actually fail."""
+    import numpy as np
+
+    from directcomputeraytracing_tpu.integrator.renderer import Renderer
+    from directcomputeraytracing_tpu.scene.presets import cornell_box
+
+    scene, cam = cornell_box(light="area")
+    img = {}
+    for backend in ("auto", "brute"):
+        r = Renderer(scene, cam, width=64, height=64, max_bounce=3,
+                     traversal_backend=backend)
+        img[backend] = np.asarray(r.render(spp=4, seed_mode="fixed"))
+    rmse = float(np.sqrt(np.mean((img["auto"] - img["brute"]) ** 2)))
+    return {"render_vs_brute_rmse": rmse}
+
+
 def cornell_metrics():
     import jax
     import jax.numpy as jnp
@@ -218,7 +284,8 @@ def main():
     extra = {"device": str(jax.devices()[0].platform)}
     tm = traversal_metrics()
     extra.update({k: round(v, 3) for k, v in tm.items()})
-    for fn in (cornell_metrics, standin_metrics):
+    for fn in (kernel_check_metrics, image_oracle_metrics,
+               cornell_metrics, standin_metrics):
         try:
             extra.update({k: round(v, 4) for k, v in fn().items()})
         except Exception as e:  # never lose the headline line

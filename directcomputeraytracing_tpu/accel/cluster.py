@@ -14,6 +14,8 @@ stack traversal, Shaders/BVHAccel.inc.hlsl:85-232, re-designed for a
 vector machine).
 """
 
+import os
+
 import numpy as np
 
 # Small clusters keep the exact sweep close to the rays' true needs:
@@ -21,6 +23,139 @@ import numpy as np
 # triangles per ray where ~3 suffice; 16-tri clusters cut the tested
 # set ~5x for the same cull cost class.
 CLUSTER_SIZE = 16
+# Clusters per supercluster (the work-list kernels' fan-out; shared by
+# the host-side instanced-super builder and accel.worklist).
+SUPER_SIZE = int(os.environ.get("DCRT_WL_SUPER", "32"))
+
+
+def _median_split(cen, cluster_size):
+    clusters = []
+
+    def split(idx):
+        if idx.size <= cluster_size:
+            clusters.append(idx)
+            return
+        c = cen[idx]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        order = idx[np.argsort(c[:, axis], kind="stable")]
+        half = idx.size // 2
+        split(order[:half])
+        split(order[half:])
+
+    split(np.arange(cen.shape[0]))
+    return clusters
+
+
+def build_local_clusters(tri_verts, tri_offsets, mesh_tri_counts,
+                         cluster_size=CLUSTER_SIZE,
+                         super_size=SUPER_SIZE):
+    """Mesh-LOCAL cluster slabs with BLAS sharing (the memory model of
+    the reference's TLAS->BLAS instancing, Source/Scene.cpp:337-391:
+    geometry stored once per mesh, instances reference it).
+
+    tri_verts: (T, 9) leaf-ordered local triangles, all meshes
+    concatenated; tri_offsets/mesh_tri_counts: per-mesh ranges.
+
+    Returns (slab (CL*cluster_size, 13), lbox (CL, 8) local cluster
+    boxes, mesh_super_offset (M,), mesh_super_count (M,)). Each mesh's
+    cluster run is padded to a super_size multiple so superclusters
+    never straddle meshes; slab cols: v0|v1|v2 local, GLOBAL leaf tri
+    id, 0, 0, local row."""
+    slabs, boxes = [], []
+    mso = np.zeros(len(tri_offsets), np.int64)
+    msc = np.zeros(len(tri_offsets), np.int64)
+    sup_cursor = 0
+    for m, (lo, n) in enumerate(zip(tri_offsets, mesh_tri_counts)):
+        v = tri_verts[lo:lo + n].reshape(n, 3, 3)
+        cen = v.mean(axis=1)
+        clusters = _median_split(cen, cluster_size)
+        c_count = -(-len(clusters) // super_size) * super_size
+        tab = np.zeros((c_count * cluster_size, 13), np.float32)
+        bbox = np.zeros((c_count, 8), np.float32)
+        bbox[:, 0:3] = 1.0      # inverted padding boxes: never entered
+        bbox[:, 3:6] = -1.0
+        for k, idx in enumerate(clusters):
+            rows = np.concatenate(
+                [tri_verts[lo + idx],
+                 (lo + idx)[:, None].astype(np.float32),
+                 np.zeros((idx.size, 2), np.float32),
+                 idx[:, None].astype(np.float32)], axis=1)
+            tab[k * cluster_size: k * cluster_size + idx.size] = rows
+            vv = v[idx]
+            bbox[k, 0:3] = vv.min(axis=(0, 1))
+            bbox[k, 3:6] = vv.max(axis=(0, 1))
+        slabs.append(tab)
+        boxes.append(bbox)
+        mso[m] = sup_cursor
+        msc[m] = c_count // super_size
+        sup_cursor += msc[m]
+    return (np.concatenate(slabs), np.concatenate(boxes), mso, msc)
+
+
+def _morton3(q, bits=8):
+    out = np.zeros(q.shape[0], np.int64)
+    for b in range(bits):
+        for ax in range(3):
+            out |= ((q[:, ax].astype(np.int64) >> b) & 1) << (3 * b + ax)
+    return out
+
+
+def build_instanced_supers(lbox, mesh_super_offset, mesh_super_count,
+                           inst_mesh, inst_tf, super_size=SUPER_SIZE):
+    """Per-(instance, supercluster) WORLD-space box tables for the
+    instanced work-list traversal (the reference transforms the ray
+    into BLAS space per TLAS leaf, Shaders/BVHAccel.inc.hlsl:127-140;
+    here each sweep item carries its instance and transforms the ray
+    bundle in-kernel).
+
+    Returns (isup_cbox (NS, super_size, 8) world child boxes,
+    isup_sbox (NS, 8) world super boxes, isup_local (NS,) local super
+    id into the shared slab table, isup_inst (NS,)) Morton-sorted by
+    super-box center so the phase-A hierarchy gets spatially tight
+    hyper unions."""
+    corners_sel = np.array(
+        [[x, y, z] for x in (0, 3) for y in (1, 4) for z in (2, 5)])
+    cb, sb, sl, si = [], [], [], []
+    for i, m in enumerate(inst_mesh):
+        a = inst_tf[i][:3]
+        t = inst_tf[i][3]
+        s0 = int(mesh_super_offset[m])
+        ns = int(mesh_super_count[m])
+        box = lbox[s0 * super_size:(s0 + ns) * super_size]   # (ns*S, 8)
+        # world AABB of each local cluster box: transform 8 corners
+        crn = box[:, corners_sel]                            # (n, 8, 3)
+        w = crn @ a + t
+        inv = box[:, 0] > box[:, 3]          # inverted padding clusters
+        bmin = np.where(inv[:, None], 1.0, w.min(axis=1))
+        bmax = np.where(inv[:, None], -1.0, w.max(axis=1))
+        cbox = np.concatenate(
+            [bmin, bmax, np.zeros((box.shape[0], 2), np.float32)],
+            axis=1).astype(np.float32).reshape(ns, super_size, 8)
+        real = ~inv.reshape(ns, super_size)
+        smin = np.where(
+            real.any(1)[:, None],
+            np.where(real[..., None], cbox[..., 0:3], np.inf).min(1), 1.0)
+        smax = np.where(
+            real.any(1)[:, None],
+            np.where(real[..., None], cbox[..., 3:6], -np.inf).max(1),
+            -1.0)
+        cb.append(cbox)
+        sb.append(np.concatenate(
+            [smin, smax, np.zeros((ns, 2), np.float32)],
+            axis=1).astype(np.float32))
+        sl.append(np.arange(s0, s0 + ns, dtype=np.int32))
+        si.append(np.full(ns, i, np.int32))
+    isup_cbox = np.concatenate(cb)
+    isup_sbox = np.concatenate(sb)
+    isup_local = np.concatenate(sl)
+    isup_inst = np.concatenate(si)
+    cen = 0.5 * (isup_sbox[:, 0:3] + isup_sbox[:, 3:6])
+    lo = cen.min(axis=0)
+    ext = np.maximum(cen.max(axis=0) - lo, 1e-9)
+    q = np.clip((cen - lo) / ext * 255.0, 0, 255).astype(np.int64)
+    order = np.argsort(_morton3(q), kind="stable")
+    return (isup_cbox[order], isup_sbox[order], isup_local[order],
+            isup_inst[order])
 
 
 def build_clusters(world_tris, world_tri_meta, cluster_size=CLUSTER_SIZE):

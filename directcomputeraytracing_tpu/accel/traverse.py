@@ -536,6 +536,12 @@ def _alpha_recast(scene, origin, direction, t_min, opacity_u,
 def _resolve_backend(scene, backend):
     if backend != "auto":
         return backend
+    if scene.isup_inst.shape[0] > 1:
+        # instanced work-list tables (BLAS sharing): built when the
+        # world soup would exceed its budget — the fast path for big /
+        # heavily instanced scenes
+        return ("pallas_wl" if jax.default_backend() == "tpu"
+                else "jax")
     if scene.world_tris.shape[0] > 1:
         # dense sweep wins for small scenes; the Pallas kernels keep the
         # triangle tables in VMEM (TPU only — interpret mode is too slow
@@ -567,25 +573,31 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
         backend = "jax"  # non-Pallas textured alpha: the stack path
     if backend in _PALLAS_BACKENDS:
         interp = backend.endswith("interpret")
-        if backend.startswith("pallas_wl"):
+        is_wl = backend.startswith("pallas_wl")
+        if is_wl:
             from .worklist import worklist_closest_pallas as cast
         elif backend.startswith("pallas_cluster"):
             from .pallas_brute import clustered_closest_pallas as cast
         else:
             from .pallas_brute import brute_closest_pallas as cast
+        iters = None
         if opacity_u is None:
-            t, u, v, tri, inst, back = cast(
-                scene, origin, direction, t_min, interpret=interp,
-                watertight=watertight)
+            out = cast(scene, origin, direction, t_min,
+                       interpret=interp, watertight=watertight)
+            if is_wl:   # work-list kernels report swept-cluster counts
+                t, u, v, tri, inst, back, iters = out
+            else:
+                t, u, v, tri, inst, back = out
         else:
             t, u, v, tri, inst, back, _ = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
                 lambda o, d: cast(scene, o, d, t_min, interpret=interp,
-                                  watertight=watertight))
+                                  watertight=watertight)[:6])
         return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
                        backface=back, hit=jnp.isfinite(t),
-                       iterations=jnp.zeros_like(tri))
+                       iterations=(jnp.zeros_like(tri) if iters is None
+                                   else iters))
     if backend == "brute":
         (t, u, v, tri, inst, back, _, _) = _brute(
             scene, origin, direction, F32(t_min), jnp.inf, any_hit=False,
@@ -631,7 +643,7 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
         occ = _alpha_recast(
             scene, origin, direction, t_min, opacity_u, alpha_textures,
             lambda o, d: cast_c(scene, o, d, t_min, interpret=interp,
-                                watertight=watertight),
+                                watertight=watertight)[:6],
             t_max=t_max)[6]
         return occ
     if backend == "brute":

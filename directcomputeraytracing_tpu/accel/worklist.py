@@ -80,8 +80,9 @@ HIER_MIN = 192               # supers above which phase A goes
 CT = 128                     # supercluster lane tile of the coarse cull
                              # (128 keeps the (RB, CT) slab intermediates
                              # at ~0.5 MB — 256 spilled VMEM at 212k tris)
-MAX_COARSE = int(_os.environ.get("DCRT_WL_MAXC", "16384"))  # SMEM budget
-MAX_HYPER = 8192             # (block, hyper) refine items per dispatch
+MAX_COARSE = int(_os.environ.get("DCRT_WL_MAXC", "49152"))  # SMEM budget
+MAX_HYPER = int(_os.environ.get("DCRT_WL_MAXH", "16384"))
+                             # (block, hyper) refine items per dispatch
 SLICE_RAYS = 1 << 20         # larger batches run as lax.map slices so
                              # item counts stay inside the SMEM budget
 _BLOCK_SHIFT = 2
@@ -91,13 +92,13 @@ _FAR = 2.0 * BIG ** 0.5      # padding-ray origin: misses all geometry
 
 
 def _prep_rays_wl(origin, direction, t_max=None):
-    """(R, 3) x2 [+ per-ray t_max] -> (od (6, Rpad) [o; d] fused sweep
-    operand, odt (Rpad, 16) [o|d|t_max|0|inv_d|0*5] rays-on-sublanes
-    cull operand, tm (1, Rpad) sweep t_max row, R). The direction
-    reciprocals are precomputed here (fused XLA elementwise) because
-    (RB, 1)-shaped math inside the cull kernel costs full-plane vregs
-    per op. Pads to 8 bundles with far-away zero-range rays that enter
-    nothing."""
+    """(R, 3) x2 [+ per-ray t_max] -> (od (9, Rpad) [o; d; inv_d] fused
+    sweep operand, odt (Rpad, 16) [o|d|t_max|0|inv_d|0*5]
+    rays-on-sublanes cull operand, tm (1, Rpad) sweep t_max row, R).
+    The direction reciprocals are precomputed here (fused XLA
+    elementwise) for BOTH layouts: (1, RB) divisions inside the per-
+    item kernels cost ~3 vector divides per item. Pads to 8 bundles
+    with far-away zero-range rays that enter nothing."""
     r = origin.shape[0]
     quantum = 8 * RB
     pad = -(-r // quantum) * quantum - r
@@ -123,7 +124,7 @@ def _prep_rays_wl(origin, direction, t_max=None):
              jnp.zeros((pad,), F32)])
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
                           jnp.where(d >= 0, 1e-30, -1e-30), d)
-    od = jnp.concatenate([o.T, d.T], axis=0)
+    od = jnp.concatenate([o.T, d.T, inv.T], axis=0)
     rp = r + pad
     odt = jnp.concatenate(
         [o, d, tm[:, None], jnp.zeros((rp, 1), F32), inv,
@@ -173,28 +174,50 @@ def _pad_tables(scene):
     # inverted -> never entered
     sbox = jnp.concatenate(
         [sb_min, sb_max, jnp.zeros((cs, 2), F32)], axis=1)
-    hyper = None
-    if cs > HIER_MIN:
-        hs = _hyper_fanout(cs)
-        nh = -(-cs // hs)
-        if nh * hs != cs:
-            pad_rows = jnp.tile(jnp.asarray(_INVERTED_BOX, F32),
-                                (nh * hs - cs, 1))
-            sbox_h = jnp.concatenate([sbox, pad_rows], axis=0)
-        else:
-            sbox_h = sbox
-        hsup = sbox_h.reshape(nh, hs, 8)
-        # min/max against inverted padding members only loosens bounds
-        hb_min = jnp.min(sbox_h.reshape(nh, hs, 8)[:, :, 0:3], axis=1)
-        hb_max = jnp.max(sbox_h.reshape(nh, hs, 8)[:, :, 3:6], axis=1)
-        all_pad = jnp.all(
-            sbox_h.reshape(nh, hs, 8)[:, :, 0] == 1.0, axis=1)
-        hbox = jnp.concatenate(
-            [jnp.where(all_pad[:, None], 1.0, hb_min),
-             jnp.where(all_pad[:, None], -1.0, hb_max),
-             jnp.zeros((nh, 2), F32)], axis=1)
-        hyper = (hsup, _lane_pad_boxes(hbox), nh, hs)
-    return ctab, cbox3, _lane_pad_boxes(sbox), cpad, cs, hyper
+    return ctab, cbox3, _lane_pad_boxes(sbox), cpad, cs, \
+        _build_hyper(sbox, cs)
+
+
+def _build_hyper(sbox, cs):
+    """Group (cs, 8) super boxes into the phase-A hyper level (None for
+    small scenes)."""
+    if cs <= HIER_MIN:
+        return None
+    hs = _hyper_fanout(cs)
+    nh = -(-cs // hs)
+    if nh * hs != cs:
+        pad_rows = jnp.tile(jnp.asarray(_INVERTED_BOX, F32),
+                            (nh * hs - cs, 1))
+        sbox_h = jnp.concatenate([sbox, pad_rows], axis=0)
+    else:
+        sbox_h = sbox
+    hsup = sbox_h.reshape(nh, hs, 8)
+    # min/max against inverted padding members only loosens bounds
+    hb_min = jnp.min(sbox_h.reshape(nh, hs, 8)[:, :, 0:3], axis=1)
+    hb_max = jnp.max(sbox_h.reshape(nh, hs, 8)[:, :, 3:6], axis=1)
+    all_pad = jnp.all(
+        sbox_h.reshape(nh, hs, 8)[:, :, 0] == 1.0, axis=1)
+    hbox = jnp.concatenate(
+        [jnp.where(all_pad[:, None], 1.0, hb_min),
+         jnp.where(all_pad[:, None], -1.0, hb_max),
+         jnp.zeros((nh, 2), F32)], axis=1)
+    return (hsup, _lane_pad_boxes(hbox), nh, hs)
+
+
+def _instanced(scene):
+    """True when the scene carries the BLAS-sharing instanced tables
+    (built for scenes too big or too instanced for the world soup)."""
+    return scene.isup_inst.shape[0] > 1
+
+
+def _pad_tables_instanced(scene):
+    """Instanced-mode phase tables: per-(instance, super) world boxes
+    drive the cull exactly like world-soup supers; the slab table is
+    mesh-local and indexed separately (isup_local)."""
+    sbox = scene.isup_sbox
+    cs = sbox.shape[0]
+    return (scene.icl_slab, scene.isup_cbox, _lane_pad_boxes(sbox),
+            None, cs, _build_hyper(sbox, cs))
 
 
 def _hyper_fanout(cs):
@@ -325,10 +348,7 @@ def _refine_kernel(hs, bfh_ref, hyp_ref, hsup_ref, od_ref, tm_ref,
         t_lo = jnp.full((hs, rb), -BIG, F32)
         t_hi = jnp.full((hs, rb), BIG, F32)
         for ax in range(3):
-            d_c = od_ref[3 + ax:4 + ax, :]             # (1, RB)
-            inv = 1.0 / jnp.where(
-                jnp.abs(d_c) < 1e-30,
-                jnp.where(d_c >= 0, 1e-30, -1e-30), d_c)
+            inv = od_ref[6 + ax:7 + ax, :]             # (1, RB)
             b0 = hsup_ref[0, :, ax:ax + 1]             # (hs, 1)
             b1 = hsup_ref[0, :, 3 + ax:4 + ax]
             o_c = od_ref[ax:ax + 1, :]
@@ -352,7 +372,7 @@ def _refine_items(boxes3, hs, bfh, hyp, od, tm, cap_h, interpret):
         in_specs=[
             pl.BlockSpec((1, hs, 8), lambda i, bfh, hyp: (hyp[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, RB),
+            pl.BlockSpec((9, RB),
                          lambda i, bfh, hyp: (0, bfh[i] >> _BLOCK_SHIFT),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, RB),
@@ -453,9 +473,7 @@ def _fine_enter(cbox_ref, od_ref, cap_row):
     t_lo = jnp.full((SUPER, rb), -BIG, F32)
     t_hi = jnp.full((SUPER, rb), BIG, F32)
     for ax in range(3):
-        d_c = od_ref[3 + ax:4 + ax, :]                 # (1, RB)
-        inv = 1.0 / jnp.where(jnp.abs(d_c) < 1e-30,
-                              jnp.where(d_c >= 0, 1e-30, -1e-30), d_c)
+        inv = od_ref[6 + ax:7 + ax, :]                 # (1, RB)
         b0 = cbox_ref[0, :, ax:ax + 1]                 # (SUPER, 1)
         b1 = cbox_ref[0, :, 3 + ax:4 + ax]
         o_c = od_ref[ax:ax + 1, :]
@@ -499,7 +517,8 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
         dx, dy, dz = od_ref[3:4, :], od_ref[4:5, :], od_ref[5:6, :]
         t_min = tmin_ref[0, 0]
         rb = od_ref.shape[1]
-        rows = jax.lax.broadcasted_iota(I32, (CLUSTER_SIZE, 1), 0)
+        rows2 = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
+        rowmod = rows2 & (CLUSTER_SIZE - 1)
 
         # best starts at the ray's scene-bbox exit (+pad), NOT +inf:
         # rays that miss everything then stop blocking termination.
@@ -512,7 +531,7 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             out_ref[0:1, :] = jax.lax.bitcast_convert_type(
                 texp_bits, F32)
             out_ref[1:2, :] = texp_ref[0:1, :]
-            for j in range(2, 7):
+            for j in range(2, 8):
                 out_ref[j:j + 1, :] = jnp.zeros((1, rb), F32)
             term_scr[0] = BIG
 
@@ -525,20 +544,32 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
         mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
 
         def body(r):
+            # two entered clusters per iteration: one Moeller sweep on a
+            # fused (2S, RB) slab pair halves the pick/argmin chain and
+            # loop fixed costs (an odd trailing cluster masks its pair)
             mask = mask_scr[:, :] > 0.5
-            c_r = jnp.min(jnp.where(mask, iota, SUPER))
-            mask_scr[:, :] = jnp.where(iota == c_r, 0.0, mask_scr[:, :])
-            tab = slab_ref[pl.ds(c_r * CLUSTER_SIZE, CLUSTER_SIZE), :]
+            c_1 = jnp.min(jnp.where(mask, iota, SUPER))
+            c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
+            mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
+                                       0.0, mask_scr[:, :])
+            v2 = c_2 < SUPER
+            c2c = jnp.where(v2, c_2, 0)
+            tab = jnp.concatenate(
+                [slab_ref[pl.ds(c_1 * CLUSTER_SIZE, CLUSTER_SIZE), :],
+                 slab_ref[pl.ds(c2c * CLUSTER_SIZE, CLUSTER_SIZE), :]],
+                axis=0)
             t_b = out_ref[0:1, :]
             t, u, v, back, ok = _moeller_rows(
                 tab, ox, oy, oz, dx, dy, dz, t_min, t_b, watertight=wt)
+            ok = ok & ((rows2 < CLUSTER_SIZE) | v2)
             # pack (t & ~0xFF) | (child << 4) | row: the integer min IS
             # the argmin, the id bits make every candidate unique, and
             # the winner's EXACT attributes are picked right here with
             # masked sums (replacing three 1M-row HBM gathers in the
             # old post-pass, ~4x)
+            child = jnp.where(rows2 < CLUSTER_SIZE, c_1, c2c)
             bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
-                    | ((c_r << 4) + rows))
+                    | ((child << 4) + rowmod))
             cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
             pmin = jnp.min(cand, axis=0, keepdims=True)
             best = jax.lax.bitcast_convert_type(t_b, I32)
@@ -562,7 +593,12 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             sel(5, jnp.broadcast_to(tab[:, 10:11], cand.shape))
             flipped = back ^ (tab[:, 11:12] > 0.5)
             sel(6, jnp.where(flipped, 1.0, 0.0))
-            return r + 1
+            # row 7: clusters swept for this block (the production-path
+            # traversal-cost counter the iteration AOV reads; the
+            # reference counts per-thread loop iterations,
+            # MegakernelPathTracing.hlsl:286-288)
+            out_ref[7:8, :] = out_ref[7:8, :] + jnp.where(v2, 2.0, 1.0)
+            return r + 2
 
         jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
 
@@ -600,18 +636,28 @@ def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
         ent, n = _entered(enter)
         iota = _iota_sup()
         mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
+        rows2 = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
 
         def body(r):
+            # paired sweep (see the closest kernel)
             mask = mask_scr[:, :] > 0.5
-            c_r = jnp.min(jnp.where(mask, iota, SUPER))
-            mask_scr[:, :] = jnp.where(iota == c_r, 0.0, mask_scr[:, :])
-            tab = slab_ref[pl.ds(c_r * CLUSTER_SIZE, CLUSTER_SIZE), :]
+            c_1 = jnp.min(jnp.where(mask, iota, SUPER))
+            c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
+            mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
+                                       0.0, mask_scr[:, :])
+            v2 = c_2 < SUPER
+            c2c = jnp.where(v2, c_2, 0)
+            tab = jnp.concatenate(
+                [slab_ref[pl.ds(c_1 * CLUSTER_SIZE, CLUSTER_SIZE), :],
+                 slab_ref[pl.ds(c2c * CLUSTER_SIZE, CLUSTER_SIZE), :]],
+                axis=0)
             _, _, _, _, ok = _moeller_rows(
                 tab, ox, oy, oz, dx, dy, dz, t_min, t_max,
                 watertight=wt)
+            ok = ok & ((rows2 < CLUSTER_SIZE) | v2)
             occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], jnp.where(
                 jnp.any(ok, axis=0, keepdims=True), 1.0, 0.0))
-            return r + 1
+            return r + 2
 
         jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
 
@@ -620,7 +666,230 @@ def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             term_scr[0] = jnp.min(occ_ref[0:1, :])
 
 
+def _local_rays(inst_ref, od_ref):
+    """World (1, RB) ray rows -> mesh-local rows via the item's
+    instance inverse transform (the reference's TLAS->BLAS ray
+    re-transform, Shaders/BVHAccel.inc.hlsl:127-140). The local
+    direction stays unnormalized so Moeller's t remains the WORLD ray
+    parameter — packed-argmin t bits stay comparable across items of
+    different instances."""
+    ox, oy, oz = od_ref[0:1, :], od_ref[1:2, :], od_ref[2:3, :]
+    dx, dy, dz = od_ref[3:4, :], od_ref[4:5, :], od_ref[5:6, :]
+
+    def m(j):
+        return inst_ref[0:1, j:j + 1]                  # (1, 1)
+
+    ol = [ox * m(0 + ax) + oy * m(3 + ax) + oz * m(6 + ax) + m(9 + ax)
+          for ax in range(3)]
+    dl = [dx * m(0 + ax) + dy * m(3 + ax) + dz * m(6 + ax)
+          for ax in range(3)]
+    flip = inst_ref[0:1, 12:13] > 0.5
+    return ol[0], ol[1], ol[2], dl[0], dl[1], dl[2], flip
+
+
+def _wl_closest_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
+                            cbox_ref, slab_ref, inst_ref, od_ref,
+                            texp_ref, tmin_ref, out_ref, mask_scr,
+                            term_scr):
+    """Instanced variant of _wl_closest_kernel: world-space cull
+    against the item's per-instance child boxes, mesh-local Moeller
+    sweep on rays transformed in-kernel."""
+    i = pl.program_id(0)
+    item = bf_ref[i]
+    first = (item & 2) != 0
+    live = first | (term_scr[0] > tent_ref[i])
+
+    @pl.when(((item & 1) == 1) & live)
+    def _():
+        t_min = tmin_ref[0, 0]
+        rb = od_ref.shape[1]
+        rows2 = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
+        rowmod = rows2 & (CLUSTER_SIZE - 1)
+
+        @pl.when(first)
+        def _():
+            texp_bits = jax.lax.bitcast_convert_type(
+                texp_ref[0:1, :], I32) | _LOWM
+            out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                texp_bits, F32)
+            out_ref[1:2, :] = texp_ref[0:1, :]
+            for j in range(2, 8):
+                out_ref[j:j + 1, :] = jnp.zeros((1, rb), F32)
+            term_scr[0] = BIG
+
+        enter = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :])
+        ent, n = _entered(enter)
+        iota = _iota_sup()
+        mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
+        oxl, oyl, ozl, dxl, dyl, dzl, flip = _local_rays(inst_ref,
+                                                         od_ref)
+        inst_f = it_ref[i].astype(F32)
+
+        def body(r):
+            mask = mask_scr[:, :] > 0.5
+            c_1 = jnp.min(jnp.where(mask, iota, SUPER))
+            c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
+            mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
+                                       0.0, mask_scr[:, :])
+            v2 = c_2 < SUPER
+            c2c = jnp.where(v2, c_2, 0)
+            tab = jnp.concatenate(
+                [slab_ref[pl.ds(c_1 * CLUSTER_SIZE, CLUSTER_SIZE), :],
+                 slab_ref[pl.ds(c2c * CLUSTER_SIZE, CLUSTER_SIZE), :]],
+                axis=0)
+            t_b = out_ref[0:1, :]
+            t, u, v, back, ok = _moeller_rows(
+                tab, oxl, oyl, ozl, dxl, dyl, dzl, t_min, t_b,
+                watertight=wt)
+            ok = ok & ((rows2 < CLUSTER_SIZE) | v2)
+            child = jnp.where(rows2 < CLUSTER_SIZE, c_1, c2c)
+            bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
+                    | ((child << 4) + rowmod))
+            cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
+            pmin = jnp.min(cand, axis=0, keepdims=True)
+            best = jax.lax.bitcast_convert_type(t_b, I32)
+            better = pmin < best
+            win = cand == pmin
+
+            def pick(x):
+                return jnp.sum(jnp.where(win, x, 0.0), axis=0,
+                               keepdims=True)
+
+            def sel(j, x):
+                out_ref[j:j + 1, :] = jnp.where(better, pick(x),
+                                                out_ref[j:j + 1, :])
+
+            out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                jnp.where(better, pmin, best), F32)
+            sel(1, jnp.broadcast_to(t, cand.shape))
+            sel(2, jnp.broadcast_to(u, cand.shape))
+            sel(3, jnp.broadcast_to(v, cand.shape))
+            sel(4, jnp.broadcast_to(tab[:, 9:10], cand.shape))
+            # instance is the item's (scalar); facing flips with a
+            # negative-determinant instance transform
+            out_ref[5:6, :] = jnp.where(better, inst_f, out_ref[5:6, :])
+            flipped = back ^ flip
+            sel(6, jnp.where(flipped, 1.0, 0.0))
+            out_ref[7:8, :] = out_ref[7:8, :] + jnp.where(v2, 2.0, 1.0)
+            return r + 2
+
+        jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
+
+        @pl.when(n > 0)
+        def _():
+            term_scr[0] = jnp.max(out_ref[0:1, :])
+
+
+def _wl_any_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
+                        cbox_ref, slab_ref, inst_ref, od_ref, tmax_ref,
+                        tmin_ref, occ_ref, mask_scr, term_scr):
+    i = pl.program_id(0)
+    item = bf_ref[i]
+    first = (item & 2) != 0
+    live = first | (term_scr[0] < 0.5)
+
+    @pl.when(((item & 1) == 1) & live)
+    def _():
+        t_min = tmin_ref[0, 0]
+        t_max = tmax_ref[0:1, :]
+        rb = od_ref.shape[1]
+
+        @pl.when(first)
+        def _():
+            occ_ref[0:1, :] = jnp.zeros((1, rb), F32)
+            term_scr[0] = F32(0.0)
+
+        cap_row = jnp.where(occ_ref[0:1, :] > 0.5, -BIG, t_max)
+        enter = _fine_enter(cbox_ref, od_ref, cap_row)
+        ent, n = _entered(enter)
+        iota = _iota_sup()
+        mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
+        rows2 = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
+        oxl, oyl, ozl, dxl, dyl, dzl, _flip = _local_rays(inst_ref,
+                                                          od_ref)
+
+        def body(r):
+            mask = mask_scr[:, :] > 0.5
+            c_1 = jnp.min(jnp.where(mask, iota, SUPER))
+            c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
+            mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
+                                       0.0, mask_scr[:, :])
+            v2 = c_2 < SUPER
+            c2c = jnp.where(v2, c_2, 0)
+            tab = jnp.concatenate(
+                [slab_ref[pl.ds(c_1 * CLUSTER_SIZE, CLUSTER_SIZE), :],
+                 slab_ref[pl.ds(c2c * CLUSTER_SIZE, CLUSTER_SIZE), :]],
+                axis=0)
+            _, _, _, _, ok = _moeller_rows(
+                tab, oxl, oyl, ozl, dxl, dyl, dzl, t_min, t_max,
+                watertight=wt)
+            ok = ok & ((rows2 < CLUSTER_SIZE) | v2)
+            occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], jnp.where(
+                jnp.any(ok, axis=0, keepdims=True), 1.0, 0.0))
+            return r + 2
+
+        jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
+
+        @pl.when(n > 0)
+        def _():
+            term_scr[0] = jnp.min(occ_ref[0:1, :])
+
+
+def _sweep_specs_inst(extra_row_specs):
+    """in_specs for the instanced sweep: per-(instance, super) child
+    boxes by global super id, mesh-local slab by local super id, the
+    instance transform row, the block's rays, extras, SMEM t_min."""
+    return [
+        pl.BlockSpec((1, SUPER, 8),
+                     lambda i, bf, su, sl, it, te: (su[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUPER * CLUSTER_SIZE, 13),
+                     lambda i, bf, su, sl, it, te: (sl[i], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 16),
+                     lambda i, bf, su, sl, it, te: (it[i], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, RB),
+                     lambda i, bf, su, sl, it, te:
+                     (0, _block_idx(bf, i)),
+                     memory_space=pltpu.VMEM),
+    ] + extra_row_specs + [
+        pl.BlockSpec((1, 1), lambda i, bf, su, sl, it, te: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+
+
+def _item_locals(scene, sup):
+    """Per-item local-slab super ids + instance ids from the global
+    super ids (clipped: invalid items' ids are never dereferenced by a
+    live kernel step)."""
+    s = jnp.clip(sup, 0, scene.isup_local.shape[0] - 1)
+    return (scene.isup_local[s].astype(I32),
+            scene.isup_inst[s].astype(I32))
+
+
+def _stack_fallback_closest(scene, origin, direction, t_min, watertight,
+                            rp):
+    """Capacity-overflow fallback for instanced mode: the XLA stack
+    walker (no world soup exists to brute-sweep)."""
+    from .traverse import _traverse
+
+    s = _traverse(scene, origin, direction, F32(t_min), jnp.inf,
+                  64, any_hit=False, watertight=watertight,
+                  opacity_u=None, alpha_textures=False)
+    t = jnp.where(jnp.isfinite(s.hit_t), s.hit_t, BIG)
+    packed = jnp.stack([t, t, s.hit_u, s.hit_v,
+                        s.hit_tri.astype(F32), s.hit_inst.astype(F32),
+                        jnp.where(s.hit_back, 1.0, 0.0),
+                        jnp.zeros_like(t)])
+    return jnp.pad(packed, ((0, 0), (0, rp - origin.shape[0])))
+
+
 def _capacity(nb, cs):
+    """Sweep-item capacity scales with the block count (smaller RB =
+    more, tighter blocks = proportionally more items) under the SMEM
+    hard cap; the round-2 RB=512 'collapse' was this cap not scaling —
+    2048 blocks overflowed 16384 items and hit the dense fallback."""
     return int(min(max(nb * 16, 2048), MAX_COARSE, nb * cs))
 
 
@@ -637,15 +906,14 @@ def _scene_exit(scene, od):
     """(1, rp) per-ray scene-bbox exit distance (+ pad), 0 = ray misses
     the whole scene. Initialising best-t here (instead of +inf) is what
     lets miss rays participate in early termination."""
-    cbox = scene.cluster_bbox
+    cbox = (scene.isup_sbox if _instanced(scene)
+            else scene.cluster_bbox)
     bmin = jnp.min(cbox[:, 0:3], axis=0)
     bmax = jnp.max(cbox[:, 3:6], axis=0)
     t_lo = jnp.full((od.shape[1],), -BIG, F32)
     t_hi = jnp.full((od.shape[1],), BIG, F32)
     for ax in range(3):
-        d_c = od[3 + ax]
-        inv = 1.0 / jnp.where(jnp.abs(d_c) < 1e-30,
-                              jnp.where(d_c >= 0, 1e-30, -1e-30), d_c)
+        inv = od[6 + ax]
         a = (bmin[ax] - od[ax]) * inv
         b = (bmax[ax] - od[ax]) * inv
         t_lo = jnp.maximum(t_lo, jnp.minimum(a, b))
@@ -665,7 +933,9 @@ def _phases(scene, od, odt, interpret):
     the fused sweep kernel itself (a pre-expanded cluster frontier
     without it measured 8x worse — most clusters a ray's infinite line
     pierces are behind its first hit)."""
-    ctab, cbox3, sboxv, cpad, cs, hyper = _pad_tables(scene)
+    ctab, cbox3, sboxv, cpad, cs, hyper = (
+        _pad_tables_instanced(scene) if _instanced(scene)
+        else _pad_tables(scene))
     nb = od.shape[1] // RB
     tm_row = odt[:, 6][None, :]
     cap_s = _capacity(nb, cs)
@@ -707,7 +977,7 @@ def _sweep_specs(extra_row_specs):
         pl.BlockSpec((SUPER * CLUSTER_SIZE, 13),
                      lambda i, bf, su, te: (su[i], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((6, RB),
+        pl.BlockSpec((9, RB),
                      lambda i, bf, su, te: (0, _block_idx(bf, i)),
                      memory_space=pltpu.VMEM),
     ] + extra_row_specs + [
@@ -739,8 +1009,10 @@ def _slice_rays(origin, direction, extra=None):
 def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
                             interpret=False, watertight=False):
     """Closest-hit via the fused hierarchical sweep. Returns
-    (t, u, v, tri, inst, backface) with t = +inf on miss. Batches over
-    SLICE_RAYS run as sequential lax.map slices (one compiled body)."""
+    (t, u, v, tri, inst, backface, iters) with t = +inf on miss and
+    iters = clusters swept for the ray's block (traversal-cost
+    counter). Batches over SLICE_RAYS run as sequential lax.map slices
+    (one compiled body)."""
     if origin.shape[0] > SLICE_RAYS:
         (os_, ds_), r = _slice_rays(origin, direction)
         outs = jax.lax.map(
@@ -761,32 +1033,64 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
         scene, od, odt, interpret)
     texp = _scene_exit(scene, od)
     tmin_arr = jnp.full((1, 1), t_min, F32)
+    inst_mode = _instanced(scene)
 
     def wl_path(_):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(cap_s,),
-            in_specs=_sweep_specs([
-                pl.BlockSpec((1, RB),
-                             lambda i, bf, su, te: (0, _block_idx(bf, i)),
-                             memory_space=pltpu.VMEM),
-            ]),
-            out_specs=pl.BlockSpec(
-                (7, RB), lambda i, bf, su, te: (0, _block_idx(bf, i)),
-                memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((SUPER, 1), F32),
-                            pltpu.SMEM((1,), F32)],
-        )
-        out = pl.pallas_call(
-            functools.partial(_wl_closest_kernel, watertight),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((7, rp), F32),
-            interpret=interpret,
-        )(blkflags, sup, t_ent, cbox3, ctab, od, texp, tmin_arr)
-        miss = jnp.asarray([BIG, BIG, 0, 0, 0, 0, 0], F32)[:, None]
+        scratch = [pltpu.VMEM((SUPER, 1), F32), pltpu.SMEM((1,), F32)]
+        if inst_mode:
+            sl, it = _item_locals(scene, sup)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(cap_s,),
+                in_specs=_sweep_specs_inst([
+                    pl.BlockSpec((1, RB),
+                                 lambda i, bf, su, sl, it, te:
+                                 (0, _block_idx(bf, i)),
+                                 memory_space=pltpu.VMEM),
+                ]),
+                out_specs=pl.BlockSpec(
+                    (8, RB),
+                    lambda i, bf, su, sl, it, te:
+                    (0, _block_idx(bf, i)),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            )
+            out = pl.pallas_call(
+                functools.partial(_wl_closest_inst_kernel, watertight),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((8, rp), F32),
+                interpret=interpret,
+            )(blkflags, sup, sl, it, t_ent, cbox3, ctab,
+              scene.inst_rows, od, texp, tmin_arr)
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(cap_s,),
+                in_specs=_sweep_specs([
+                    pl.BlockSpec((1, RB),
+                                 lambda i, bf, su, te:
+                                 (0, _block_idx(bf, i)),
+                                 memory_space=pltpu.VMEM),
+                ]),
+                out_specs=pl.BlockSpec(
+                    (8, RB),
+                    lambda i, bf, su, te: (0, _block_idx(bf, i)),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            )
+            out = pl.pallas_call(
+                functools.partial(_wl_closest_kernel, watertight),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((8, rp), F32),
+                interpret=interpret,
+            )(blkflags, sup, t_ent, cbox3, ctab, od, texp, tmin_arr)
+        miss = jnp.asarray([BIG, BIG, 0, 0, 0, 0, 0, 0], F32)[:, None]
         return _mask_untouched(out, block_any, miss)
 
     def fallback(_):
+        if inst_mode:
+            return _stack_fallback_closest(scene, origin, direction,
+                                           t_min, watertight, rp)
         from .pallas_brute import clustered_closest_pallas
 
         t, u, v, tri, inst, back = clustered_closest_pallas(
@@ -795,7 +1099,8 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
         t = jnp.where(jnp.isinf(t), BIG, t)
         packed = jnp.stack([t, t, u, v, tri.astype(F32),
                             inst.astype(F32),
-                            jnp.where(back, 1.0, 0.0)])
+                            jnp.where(back, 1.0, 0.0),
+                            jnp.zeros_like(t)])
         return jnp.pad(packed, ((0, 0), (0, rp - r)))
 
     out7 = jax.lax.cond(fits, wl_path, fallback, 0)
@@ -817,6 +1122,7 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
     tri = out7[4, :r].astype(I32)
     inst = out7[5, :r].astype(I32)
     backface = out7[6, :r] > 0.5
+    iters = out7[7, :r].astype(I32)
 
     hit = t < BIG
     t = jnp.where(hit, t, jnp.inf)
@@ -825,7 +1131,7 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
     tri = jnp.where(hit, tri, 0)
     inst = jnp.where(hit, inst, 0)
     backface = backface & hit
-    return t, u, v, tri, inst, backface
+    return t, u, v, tri, inst, backface, iters
 
 
 @functools.partial(jax.jit,
@@ -855,31 +1161,70 @@ def _any_impl(scene, origin, direction, t_max, t_min, interpret,
     ctab, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
         scene, od, odt, interpret)
     tmin_arr = jnp.full((1, 1), t_min, F32)
+    inst_mode = _instanced(scene)
 
     def wl_path(_):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(cap_s,),
-            in_specs=_sweep_specs([
-                pl.BlockSpec((1, RB),
-                             lambda i, bf, su, te: (0, _block_idx(bf, i)),
-                             memory_space=pltpu.VMEM),
-            ]),
-            out_specs=pl.BlockSpec(
-                (1, RB), lambda i, bf, su, te: (0, _block_idx(bf, i)),
-                memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((SUPER, 1), F32),
-                            pltpu.SMEM((1,), F32)],
-        )
-        occ = pl.pallas_call(
-            functools.partial(_wl_any_kernel, watertight),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((1, rp), F32),
-            interpret=interpret,
-        )(blkflags, sup, t_ent, cbox3, ctab, od, tm, tmin_arr)
+        scratch = [pltpu.VMEM((SUPER, 1), F32), pltpu.SMEM((1,), F32)]
+        if inst_mode:
+            sl, it = _item_locals(scene, sup)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(cap_s,),
+                in_specs=_sweep_specs_inst([
+                    pl.BlockSpec((1, RB),
+                                 lambda i, bf, su, sl, it, te:
+                                 (0, _block_idx(bf, i)),
+                                 memory_space=pltpu.VMEM),
+                ]),
+                out_specs=pl.BlockSpec(
+                    (1, RB),
+                    lambda i, bf, su, sl, it, te:
+                    (0, _block_idx(bf, i)),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            )
+            occ = pl.pallas_call(
+                functools.partial(_wl_any_inst_kernel, watertight),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((1, rp), F32),
+                interpret=interpret,
+            )(blkflags, sup, sl, it, t_ent, cbox3, ctab,
+              scene.inst_rows, od, tm, tmin_arr)
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(cap_s,),
+                in_specs=_sweep_specs([
+                    pl.BlockSpec((1, RB),
+                                 lambda i, bf, su, te:
+                                 (0, _block_idx(bf, i)),
+                                 memory_space=pltpu.VMEM),
+                ]),
+                out_specs=pl.BlockSpec(
+                    (1, RB),
+                    lambda i, bf, su, te: (0, _block_idx(bf, i)),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            )
+            occ = pl.pallas_call(
+                functools.partial(_wl_any_kernel, watertight),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((1, rp), F32),
+                interpret=interpret,
+            )(blkflags, sup, t_ent, cbox3, ctab, od, tm, tmin_arr)
         return _mask_untouched(occ, block_any, 0.0)
 
     def fallback(_):
+        if inst_mode:
+            from .traverse import _traverse
+
+            s = _traverse(scene, origin, direction, F32(t_min),
+                          jnp.broadcast_to(jnp.asarray(t_max, F32),
+                                           (r,)),
+                          64, any_hit=True, watertight=watertight,
+                          opacity_u=None, alpha_textures=False)
+            return jnp.pad(jnp.where(s.occluded, 1.0, 0.0),
+                           (0, rp - r))[None, :]
         from .pallas_brute import clustered_any_pallas
 
         occ = clustered_any_pallas(scene, origin, direction, t_max, t_min,

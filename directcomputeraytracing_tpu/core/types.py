@@ -78,6 +78,18 @@ class SceneArrays(NamedTuple):
     mat_albedo_tex: jnp.ndarray   # (M,) i32, -1 = none
     mat_opacity_tex: jnp.ndarray  # (M,) i32, -1 = none
 
+    # Instanced work-list tables (BLAS sharing, O(unique tris) memory;
+    # reference analogue: TLAS->BLAS ray re-transform,
+    # Shaders/BVHAccel.inc.hlsl:127-140). Placeholders (NS=1) when the
+    # world-soup clustered path is active instead.
+    icl_slab: jnp.ndarray    # (CL*S, 13) f32 mesh-LOCAL cluster slabs
+    isup_cbox: jnp.ndarray   # (NS, SUPER, 8) f32 world child boxes
+    isup_sbox: jnp.ndarray   # (NS, 8) f32 world super boxes
+    isup_local: jnp.ndarray  # (NS,) i32 local super id (slab index)
+    isup_inst: jnp.ndarray   # (NS,) i32 instance id
+    inst_rows: jnp.ndarray   # (I, 16) f32 [inv A (9) | inv t (3) |
+                             #              det<0 flip | pad*3]
+
     # Lights (SoA; replaces the reference's bit-punned SLight)
     light_radiance: jnp.ndarray   # (L, 3) f32
     light_position: jnp.ndarray   # (L, 3) f32 point position / directional dir

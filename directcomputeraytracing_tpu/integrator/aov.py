@@ -39,9 +39,17 @@ def render_aov(scene, cam, cfg: RenderConfig, pixel_x, pixel_y, frame_seed,
     origin, wi = generate_ray(cam, (pixel_sample + pix) / res,
                               aperture_sample)
 
-    # the iteration-count heatmap needs the stack traversal's counter, so
-    # it pins the "jax" backend; other AOVs use the scene's default
-    backend = "jax" if kind == "iteration_count" else cfg.traversal_backend
+    # the iteration-count heatmap needs a backend with cost counters:
+    # the stack walker counts per-ray node iterations and the work-list
+    # kernels count per-block swept clusters (the production path);
+    # the other Pallas kernels have no counter -> pin "jax"
+    backend = cfg.traversal_backend
+    if kind == "iteration_count":
+        from ..accel.traverse import _resolve_backend
+
+        if not str(_resolve_backend(scene, backend)).startswith(
+                ("jax", "pallas_wl")):
+            backend = "jax"
     hit = intersect_closest(scene, origin, wi, cfg.stack_size,
                             backend=backend, watertight=cfg.watertight)
     itx = shade_hit(scene, origin, wi, hit)

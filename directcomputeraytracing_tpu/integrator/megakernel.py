@@ -246,6 +246,57 @@ def render_samples_accumulated(scene, luts, cam, cfg: RenderConfig,
     return total
 
 
+def _pad_to_chunk(arrs, chunk):
+    r = arrs[0].shape[0]
+    pad = -(-r // chunk) * chunk - r
+    return [jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad,))])
+            for a in arrs], r
+
+
+def render_samples_chunked(scene, luts, cam, cfg, pixel_x, pixel_y,
+                           frame_seed, chunk_pixels):
+    """render_samples split into bounded per-dispatch pixel chunks (the
+    reference renders one 512^2 tile per frame and round-robins,
+    MegakernelPathTracer.cpp:131-157; here chunking bounds single-
+    dispatch wall time — the axon tunnel kills dispatches that run
+    minutes, docs/KNOWN_ISSUES.md). Pixels are padded to a chunk
+    multiple by repeating the last pixel (traced, then dropped) so
+    every dispatch shares one compiled shape. Per-pixel results are
+    bit-identical to the unchunked call."""
+    R = pixel_x.shape[0]
+    if R <= chunk_pixels:
+        return render_samples(scene, luts, cam, cfg, pixel_x, pixel_y,
+                              frame_seed)
+    (pxp, pyp), _ = _pad_to_chunk([pixel_x, pixel_y], chunk_pixels)
+    pos, val = [], []
+    for i in range(0, pxp.shape[0], chunk_pixels):
+        p, v = render_samples(scene, luts, cam, cfg,
+                              pxp[i:i + chunk_pixels],
+                              pyp[i:i + chunk_pixels], frame_seed)
+        pos.append(p)
+        val.append(v)
+    return (jnp.concatenate(pos)[:R], jnp.concatenate(val)[:R])
+
+
+def render_samples_accumulated_chunked(scene, luts, cam, cfg, pixel_x,
+                                       pixel_y, base_seed, n_samples,
+                                       chunk_pixels):
+    """render_samples_accumulated over bounded pixel chunks (see
+    render_samples_chunked)."""
+    R = pixel_x.shape[0]
+    if R <= chunk_pixels:
+        return render_samples_accumulated(scene, luts, cam, cfg,
+                                          pixel_x, pixel_y, base_seed,
+                                          n_samples)
+    (pxp, pyp), _ = _pad_to_chunk([pixel_x, pixel_y], chunk_pixels)
+    parts = []
+    for i in range(0, pxp.shape[0], chunk_pixels):
+        parts.append(render_samples_accumulated(
+            scene, luts, cam, cfg, pxp[i:i + chunk_pixels],
+            pyp[i:i + chunk_pixels], base_seed, n_samples))
+    return jnp.concatenate(parts)[:R]
+
+
 def full_frame_pixels(cfg: RenderConfig):
     """Raster-order pixel coordinate arrays for a whole frame."""
     ys, xs = jnp.meshgrid(

@@ -104,13 +104,33 @@ class Renderer:
         self.film = create_film(self.cfg.height, self.cfg.width)
         self.spp = 0
 
+    def _mk_chunk(self, fuse=1):
+        """Megakernel per-dispatch pixel budget: bound single-dispatch
+        wall time like the reference's 512^2 tile round-robin
+        (MegakernelPathTracer.cpp:131-157). Alpha-tested scenes re-cast
+        per transparency layer, so their budget is halved. None = whole
+        frame in one dispatch."""
+        budget = (1 << 18) // max(fuse, 1)
+        if self.cfg.any_hit:
+            budget //= 2
+        R = self.cfg.width * self.cfg.height
+        return budget if R > budget else None
+
     def render_sample(self, frame_seed):
         """Trace one sample per pixel and accumulate into the film."""
         px, py = self._px, self._py
         if self.integrator == "megakernel":
-            pos, values = render_samples(
-                self.arrays, self.luts, self.camera, self.cfg, px, py,
-                jnp.uint32(frame_seed))
+            chunk = self._mk_chunk()
+            if chunk is not None:
+                from .megakernel import render_samples_chunked
+
+                pos, values = render_samples_chunked(
+                    self.arrays, self.luts, self.camera, self.cfg, px,
+                    py, jnp.uint32(frame_seed), chunk)
+            else:
+                pos, values = render_samples(
+                    self.arrays, self.luts, self.camera, self.cfg, px,
+                    py, jnp.uint32(frame_seed))
         else:
             from .wavefront import render_samples_wavefront
 
@@ -138,24 +158,32 @@ class Renderer:
         """Accumulate spp samples. With the box fast path and progressive
         seeds, megakernel sample passes fuse into multi-spp dispatches
         (samples_per_dispatch, default min(spp, 8)) to amortize dispatch
-        latency; other configs fall back to one pass per sample."""
-        # alpha-tested scenes multiply per-sample traversal work (the
-        # re-cast loops), so cap the default fusion — a fused 6-spp
-        # dispatch on a 212k-tri alpha scene exceeded the tunnel's
-        # dispatch-duration limit (docs/KNOWN_ISSUES.md)
-        fuse_cap = 2 if self.cfg.any_hit else 8
+        latency; other configs fall back to one pass per sample. Large
+        frames additionally split each dispatch into bounded pixel
+        chunks (_mk_chunk) so fused alpha-scene dispatches stay under
+        the tunnel's duration limit."""
         fuse = (samples_per_dispatch if samples_per_dispatch is not None
-                else min(spp, fuse_cap))
+                else min(spp, 8))
         can_fuse = (self._box_fast_path and seed_mode == SEED_SAMPLE_COUNT
                     and self.integrator == "megakernel" and fuse > 1)
         remaining = spp
         while remaining > 0:
             if can_fuse and remaining >= fuse:
-                from .megakernel import render_samples_accumulated
+                from .megakernel import (
+                    render_samples_accumulated,
+                    render_samples_accumulated_chunked,
+                )
 
-                total = render_samples_accumulated(
-                    self.arrays, self.luts, self.camera, self.cfg,
-                    self._px, self._py, jnp.uint32(self.spp), fuse)
+                chunk = self._mk_chunk(fuse)
+                if chunk is not None:
+                    total = render_samples_accumulated_chunked(
+                        self.arrays, self.luts, self.camera, self.cfg,
+                        self._px, self._py, jnp.uint32(self.spp), fuse,
+                        chunk)
+                else:
+                    total = render_samples_accumulated(
+                        self.arrays, self.luts, self.camera, self.cfg,
+                        self._px, self._py, jnp.uint32(self.spp), fuse)
                 if self._inv is not None:
                     total = total[self._inv]
                 v = total.reshape(self.cfg.height, self.cfg.width, 3)

@@ -134,10 +134,13 @@ def _pool_capacity(R, pool_size):
     # a pool ~R/4 keeps occupancy high while idle lanes refill
     # (measured at 256^2 glossy Cornell: P=R/4 runs 90.8 ms/spp vs
     # 167 at P=2R — within 1.12x of the megakernel's 80.9);
-    # clamped to [2^13, 2^16] so huge frames don't explode the
-    # iteration count and tiny frames still fill the vector units
+    # clamped to [2^13, 2^18] so tiny frames still fill the vector
+    # units and huge frames cap at the reference's own 262,144-path
+    # pool (WavefrontPathTracer.cpp:25-28) — with pool sorting the
+    # traversal no longer pays for idle lanes, and fat pools amortize
+    # the fixed per-dispatch cost over 4x more rays at 1080p
     quarter = max(R // 4, 1)
-    P = 1 << max(13, min(16, quarter.bit_length() - 1))
+    P = 1 << max(13, min(18, quarter.bit_length() - 1))
     return min(P, 1 << (R - 1).bit_length())
 
 
@@ -162,15 +165,80 @@ def _make_state(cfg, R, pool_size):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool_size"))
-def _render_whole(scene, luts, cam, cfg: RenderConfig, pixel_x,
-                  pixel_y, frame_seed, pool_size=None):
+def render_samples_wavefront_pure(scene, luts, cam, cfg: RenderConfig,
+                                  pixel_x, pixel_y, frame_seed,
+                                  pool_size=None):
+    """Un-jitted whole-loop wavefront pass: trace one sample per pixel
+    draining the pool to completion. For embedding in larger programs
+    (e.g. a shard_map distributed step); same contract as
+    megakernel.render_samples."""
     R = pixel_x.shape[0]
     state = _make_state(cfg, R, pool_size)
     cond, step = _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y,
                            frame_seed, R)
     out = jax.lax.while_loop(cond, step, state)
     return out.out_pos, out.out_val
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool_size"))
+def _render_whole(scene, luts, cam, cfg: RenderConfig, pixel_x,
+                  pixel_y, frame_seed, pool_size=None):
+    return render_samples_wavefront_pure(scene, luts, cam, cfg,
+                                         pixel_x, pixel_y, frame_seed,
+                                         pool_size)
+
+
+def _sorted_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
+    """Closest-hit cast with the pool re-ordered into coherent bundles
+    (octant + origin-Morton key, idle lanes parked last). The
+    reference's pool stays coherent via per-wave compaction and
+    block-local pixel assignment (WavefrontPathTracing.hlsl:444-478,
+    558-602); on the TPU the work-list traversal wants tile-compact
+    1024-ray bundles, which a bounced pool in lane order is not —
+    sorting before the cast is what makes large-frame wavefront
+    viable."""
+    from .common import ray_sort_key
+
+    root_lo = scene.node_bbox_min[0]
+    root_hi = scene.node_bbox_max[0]
+    inv_ext = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)
+    key = ray_sort_key(ray_o, ray_d, root_lo, inv_ext)
+    key = jnp.where(busy, key, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
+    hit_s = intersect_closest(
+        scene, ray_o[order], ray_d[order], cfg.stack_size,
+        backend=cfg.traversal_backend, watertight=cfg.watertight,
+        opacity_u=None if opacity_u is None else opacity_u[order],
+        alpha_textures=cfg.any_hit_texture)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    return jax.tree_util.tree_map(lambda x: x[inv], hit_s)
+
+
+def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
+                opacity_u):
+    """Any-hit cast with the same coherence sort (shadow origins sit at
+    the bounced hit points, so they are exactly as incoherent as the
+    extension rays). Inactive lanes park last and cast a zero-length
+    ray."""
+    from .common import ray_sort_key
+
+    root_lo = scene.node_bbox_min[0]
+    root_hi = scene.node_bbox_max[0]
+    inv_ext = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)
+    key = ray_sort_key(shadow_o, shadow_d, root_lo, inv_ext)
+    key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
+    dist = jnp.where(active, distance, 0.0)
+    occ_s = intersect_any(
+        scene, shadow_o[order], shadow_d[order], dist[order],
+        cfg.stack_size, backend=cfg.traversal_backend,
+        watertight=cfg.watertight,
+        opacity_u=None if opacity_u is None else opacity_u[order],
+        alpha_textures=cfg.any_hit_texture)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    return occ_s[inv]
 
 
 def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R):
@@ -227,11 +295,16 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R):
         # alpha sample was pre-drawn at this cast's generation site
         # (refill for primaries, MATERIAL for extensions) — exactly the
         # megakernel's draw order
-        hit = intersect_closest(
-            scene, ray_o, ray_d, cfg.stack_size,
-            backend=cfg.traversal_backend, watertight=cfg.watertight,
-            opacity_u=opacity_u if cfg.any_hit else None,
-            alpha_textures=cfg.any_hit_texture)
+        if cfg.sort_bounce_rays:
+            hit = _sorted_closest(
+                scene, cfg, busy, ray_o, ray_d,
+                opacity_u if cfg.any_hit else None)
+        else:
+            hit = intersect_closest(
+                scene, ray_o, ray_d, cfg.stack_size,
+                backend=cfg.traversal_backend, watertight=cfg.watertight,
+                opacity_u=opacity_u if cfg.any_hit else None,
+                alpha_textures=cfg.any_hit_texture)
         itx = shade_hit(scene, ray_o, ray_d, hit)
         itx = itx._replace(position=_sel(hit.hit, itx.position, ray_o))
 
@@ -279,12 +352,15 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R):
             if cfg.any_hit:
                 rng, ou_s = _m1(rng, alive)
             # ---- SHADOW_RAY_CAST ----
-            occluded = intersect_any(scene, shadow_o, ls.wi, ls.distance,
-                                     cfg.stack_size,
-                                     backend=cfg.traversal_backend,
-                                     watertight=cfg.watertight,
-                                     opacity_u=ou_s,
-                                         alpha_textures=cfg.any_hit_texture)
+            if cfg.sort_bounce_rays:
+                occluded = _sorted_any(scene, cfg, alive, shadow_o,
+                                       ls.wi, ls.distance, ou_s)
+            else:
+                occluded = intersect_any(
+                    scene, shadow_o, ls.wi, ls.distance,
+                    cfg.stack_size, backend=cfg.traversal_backend,
+                    watertight=cfg.watertight, opacity_u=ou_s,
+                    alpha_textures=cfg.any_hit_texture)
             f = evaluate_bsdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             f_pdf = evaluate_bsdf_pdf(luts, ls.wi, wo, itx, cfg.use_vndf)
             n_dot_wi = jnp.abs(jnp.sum(itx.normal * ls.wi, axis=-1))

@@ -10,6 +10,7 @@ that parameterize kernel compilation — the analogue of the reference's
 scene-dependent shader `#define`s (MegakernelPathTracer.cpp:270-337).
 """
 
+import os
 from dataclasses import dataclass, field
 from typing import List, NamedTuple, Optional
 
@@ -404,6 +405,40 @@ def flatten_scene(scene: Scene):
         cluster_tris = np.zeros((CLUSTER_SIZE, 13), np.float32)
         cluster_bbox = np.zeros((1, 8), np.float32)
 
+    # --- instanced work-list tables: BLAS sharing for scenes too big
+    # (or too instanced) for the world-space soup. Triangles stay
+    # mesh-local and shared; per-(instance, super) world boxes drive
+    # the cull; the sweep transforms rays per item (reference:
+    # TLAS->BLAS re-transform, Shaders/BVHAccel.inc.hlsl:127-140).
+    from ..accel.cluster import SUPER_SIZE
+
+    use_instanced = (total_world_tris > (1 << 20)
+                     or os.environ.get("DCRT_INSTANCED") == "1") \
+        and triangles.shape[0] > 64
+    inst_det = np.asarray(
+        [np.linalg.det(t[:3].astype(np.float64)) for t in inst_tf])
+    inst_rows = np.concatenate(
+        [inst_inv[:, :3].reshape(-1, 9), inst_inv[:, 3],
+         (inst_det < 0).astype(np.float32)[:, None],
+         np.zeros((len(scene.instances), 3), np.float32)],
+        axis=1).astype(np.float32)
+    if use_instanced:
+        from ..accel.cluster import (
+            build_instanced_supers, build_local_clusters,
+        )
+
+        mesh_counts = [m.indices.shape[0] for m in scene.meshes]
+        icl_slab, lbox, mso, msc = build_local_clusters(
+            tri_verts, mesh_tri_offsets, mesh_counts)
+        isup_cbox, isup_sbox, isup_local, isup_inst = \
+            build_instanced_supers(lbox, mso, msc, inst_mesh, inst_tf)
+    else:
+        icl_slab = np.zeros((CLUSTER_SIZE, 13), np.float32)
+        isup_cbox = np.zeros((1, SUPER_SIZE, 8), np.float32)
+        isup_sbox = np.zeros((1, 8), np.float32)
+        isup_local = np.zeros(1, np.int32)
+        isup_inst = np.zeros(1, np.int32)
+
     arrays = SceneArrays(
         vtx_position=jnp.asarray(all_pos),
         vtx_normal=jnp.asarray(all_nrm),
@@ -447,6 +482,12 @@ def flatten_scene(scene: Scene):
         textures=jnp.asarray(atlas),
         texture_sizes=jnp.asarray(sizes),
         env_texture=jnp.asarray(env, jnp.float32),
+        icl_slab=jnp.asarray(icl_slab),
+        isup_cbox=jnp.asarray(isup_cbox),
+        isup_sbox=jnp.asarray(isup_sbox),
+        isup_local=jnp.asarray(isup_local),
+        isup_inst=jnp.asarray(isup_inst),
+        inst_rows=jnp.asarray(inst_rows),
     )
     from ..utils.log import logger
 

@@ -1,14 +1,17 @@
 """Multi-chip sharding tests on the forced 8-device CPU mesh: the
 distributed progressive step must reproduce the single-device render
-exactly (same seeds, disjoint pixel shards, psum sample merge)."""
+(same seeds, disjoint pixel bands, psum sample merge) — for both
+integrators, with and without the device-local tile ordering, and
+through the halo-exchanged distributed film filter."""
 
 import numpy as np
 import jax
 import pytest
 
+from directcomputeraytracing_tpu.film.filters import FilterParams
 from directcomputeraytracing_tpu.integrator.renderer import Renderer
 from directcomputeraytracing_tpu.parallel.dist import (
-    DistributedRenderer, make_mesh, pad_ray_count,
+    DistributedRenderer, band_rows, make_mesh,
 )
 from directcomputeraytracing_tpu.scene.presets import cornell_box
 
@@ -38,9 +41,61 @@ def test_distributed_matches_single_device(setup, spp_parallel):
     assert dr.spp == 4
 
 
+def test_distributed_wavefront_matches_single_device(setup):
+    """Wavefront-on-mesh (each band drains its own pool) must match the
+    single-device wavefront render exactly."""
+    scene, cam = setup
+    r = Renderer(scene, cam, width=16, height=16, max_bounce=2,
+                 integrator="wavefront")
+    mesh = make_mesh(n_devices=8, spp_parallel=2)
+    dr = DistributedRenderer(mesh, r.arrays, r.luts, r.camera, r.cfg,
+                             integrator="wavefront")
+    dr.render_step()
+    img_single = r.render(spp=2, samples_per_dispatch=1)
+    np.testing.assert_allclose(dr.image(), img_single, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_distributed_filtered_film_matches_single_device(setup):
+    """The halo-exchange distributed convolution must reproduce the
+    single-device filtered film across band seams."""
+    scene, cam = setup
+    fp = FilterParams(kind="gaussian", radius=1.5)
+    r = Renderer(scene, cam, width=16, height=16, max_bounce=2,
+                 filter_type="gaussian", filter_radius=1.5,
+                 filter_params=fp)
+    mesh = make_mesh(n_devices=8, spp_parallel=2)
+    dr = DistributedRenderer(mesh, r.arrays, r.luts, r.camera, r.cfg,
+                             filter_params=fp)
+    dr.render_step()
+    img_single = r.render(spp=2)
+    np.testing.assert_allclose(dr.image(), img_single, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_distributed_tile_order_identical(setup):
+    """The device-local tile permutation must not change the image."""
+    scene, cam = setup
+    r = Renderer(scene, cam, width=16, height=16, max_bounce=2)
+    mesh = make_mesh(n_devices=8, spp_parallel=2)
+    a = DistributedRenderer(mesh, r.arrays, r.luts, r.camera, r.cfg,
+                            tile_order=True)
+    b = DistributedRenderer(mesh, r.arrays, r.luts, r.camera, r.cfg,
+                            tile_order=False)
+    a.render_step()
+    b.render_step()
+    np.testing.assert_allclose(a.image(), b.image(), rtol=1e-6,
+                               atol=1e-7)
+
+
 def test_mesh_shapes():
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual mesh")
     mesh = make_mesh(n_devices=8, spp_parallel=2)
     assert mesh.shape == {"spp": 2, "tile": 4}
-    assert pad_ray_count(10, mesh) == 12
+
+    class _Cfg:
+        height = 18
+        width = 16
+
+    assert band_rows(_Cfg, mesh) == 5

@@ -228,6 +228,50 @@ def test_hyper_entered_but_supers_all_culled_is_a_miss(monkeypatch):
     assert not np.asarray(occ).any()
 
 
+def test_instanced_mode_matches_stack(monkeypatch):
+    """BLAS-sharing instanced tables (mesh-local slabs + per-item ray
+    re-transform) must reproduce the stack walker exactly — closest
+    (t/tri/instance/backface) and any-hit, incl. non-uniformly scaled
+    instances."""
+    monkeypatch.setenv("DCRT_INSTANCED", "1")
+    scene, _cam = sphere_grid(3, 3, stacks=12, slices=16)
+    arrays, meta = flatten_scene(scene)
+    assert arrays.isup_inst.shape[0] > 1
+    o, d = _rays(256, seed=21)
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax")
+    b = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wl_interpret")
+    m = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(b.hit), m)
+    assert m.sum() > 40
+    np.testing.assert_allclose(np.asarray(b.t)[m], np.asarray(a.t)[m],
+                               rtol=2e-4, atol=1e-5)
+    assert (np.asarray(b.triangle)[m] == np.asarray(a.triangle)[m]).all()
+    assert (np.asarray(b.instance)[m] == np.asarray(a.instance)[m]).all()
+    assert (np.asarray(b.backface)[m]
+            == np.asarray(a.backface)[m]).mean() > 0.99
+    occ_a = intersect_any(arrays, o, d, jnp.float32(3.0),
+                          meta.stack_size, backend="jax")
+    occ_b = intersect_any(arrays, o, d, jnp.float32(3.0),
+                          meta.stack_size, backend="pallas_wl_interpret")
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_a))
+
+
+def test_worklist_reports_sweep_counters(grid_scene):
+    """The production-path traversal-cost counter (VERDICT r2 #8): hits
+    must come from blocks that report swept clusters, and the counter
+    flows through intersect_closest.iterations."""
+    arrays, meta = grid_scene
+    o, d = _rays(256, seed=3)
+    h = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wl_interpret")
+    iters = np.asarray(h.iterations)
+    hits = np.asarray(h.hit)
+    assert iters.shape == hits.shape
+    assert (iters[hits] > 0).all()
+    assert iters.max() < arrays.cluster_bbox.shape[0] * 4
+
+
 def test_watertight_on_pallas_matches_stack(grid_scene):
     """watertight=True must run on the Pallas fast path (no silent
     demotion) and agree with the stack walker's watertight test."""
