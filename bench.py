@@ -113,12 +113,18 @@ def traversal_metrics():
 
 def kernel_check_metrics():
     """Compiled-on-hardware kernel correctness gate (VERDICT r2 #4):
-    the pallas_wl / pallas_cluster kernels vs the XLA stack walker on
-    the driver's device. Interpret mode is a proven-insufficient
+    the pallas_wl / pallas_cluster kernels vs the `brute` dense sweep
+    on the driver's device. Interpret mode is a proven-insufficient
     oracle (a K=4 dot_general formulation passed interpret and
-    miscompiled on the chip). The reference's analogue is its CPU
-    TraceRay vs GPU agreement (Source/SceneRayTrace.cpp:58-208)."""
-    import jax
+    miscompiled on the chip); `brute` intersects the SAME world-space
+    triangle soup, so agreement must be exact (the local-space stack
+    walker differs by fp formulation noise on grazing rays). The
+    instanced BLAS-sharing kernels are checked the same way on a
+    re-flattened copy of the scene (DCRT_INSTANCED=1). The reference's
+    analogue is its CPU TraceRay vs GPU agreement
+    (Source/SceneRayTrace.cpp:58-208)."""
+    import os
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -130,6 +136,11 @@ def kernel_check_metrics():
 
     scene, _cam = sphere_grid(5, 5)
     arrays, meta = flatten_scene(scene)
+    os.environ["DCRT_INSTANCED"] = "1"
+    try:
+        arrays_inst, _ = flatten_scene(scene)
+    finally:
+        del os.environ["DCRT_INSTANCED"]
     rng = np.random.default_rng(0)
     n = 4096
     o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
@@ -139,14 +150,16 @@ def kernel_check_metrics():
     o, d = jnp.asarray(o), jnp.asarray(d)
 
     ref_c = intersect_closest(arrays, o, d, meta.stack_size,
-                              backend="jax")
+                              backend="brute")
     ref_a = intersect_any(arrays, o, d, jnp.float32(4.0),
-                          meta.stack_size, backend="jax")
+                          meta.stack_size, backend="brute")
     mism = 0
-    for backend in ("pallas_wl", "pallas_cluster"):
-        hc = intersect_closest(arrays, o, d, meta.stack_size,
+    for arr, backend in ((arrays, "pallas_wl"),
+                         (arrays, "pallas_cluster"),
+                         (arrays_inst, "pallas_wl")):
+        hc = intersect_closest(arr, o, d, meta.stack_size,
                                backend=backend)
-        ha = intersect_any(arrays, o, d, jnp.float32(4.0),
+        ha = intersect_any(arr, o, d, jnp.float32(4.0),
                            meta.stack_size, backend=backend)
         m_hit = np.asarray(hc.hit) != np.asarray(ref_c.hit)
         both = np.asarray(hc.hit) & np.asarray(ref_c.hit)

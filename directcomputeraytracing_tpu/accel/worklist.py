@@ -83,6 +83,8 @@ CT = 128                     # supercluster lane tile of the coarse cull
 MAX_COARSE = int(_os.environ.get("DCRT_WL_MAXC", "49152"))  # SMEM budget
 MAX_HYPER = int(_os.environ.get("DCRT_WL_MAXH", "16384"))
                              # (block, hyper) refine items per dispatch
+PAIR = int(_os.environ.get("DCRT_WL_PAIR", "2"))
+                             # clusters fused per sweep iteration (1|2)
 SLICE_RAYS = 1 << 20         # larger batches run as lax.map slices so
                              # item counts stay inside the SMEM budget
 _BLOCK_SHIFT = 2
@@ -496,6 +498,36 @@ def _iota_sup():
     return jax.lax.broadcasted_iota(I32, (SUPER, 1), 0)
 
 
+def _pick_clusters(mask_scr, iota):
+    """Pop the next PAIR entered clusters from the scratch mask:
+    (c_ids, valid_flags). With PAIR=2 one fused (2S, RB) sweep halves
+    the pick/argmin chain and loop fixed costs."""
+    mask = mask_scr[:, :] > 0.5
+    c_1 = jnp.min(jnp.where(mask, iota, SUPER))
+    if PAIR == 1:
+        mask_scr[:, :] = jnp.where(iota == c_1, 0.0, mask_scr[:, :])
+        return [c_1], [c_1 < SUPER]
+    c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
+    mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
+                               0.0, mask_scr[:, :])
+    return [c_1, jnp.where(c_2 < SUPER, c_2, 0)], [c_1 < SUPER,
+                                                   c_2 < SUPER]
+
+
+def _pair_tab(slab_ref, cs_, base=0):
+    """Concatenate the PAIR picked cluster slabs (single dynamic slice
+    when PAIR=1)."""
+    parts = [slab_ref[pl.ds(base + c * CLUSTER_SIZE, CLUSTER_SIZE), :]
+             for c in cs_]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=0)
+
+
+def _rows_pair():
+    rows = jax.lax.broadcasted_iota(I32, (PAIR * CLUSTER_SIZE, 1), 0)
+    return rows, rows & (CLUSTER_SIZE - 1)
+
+
 def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
                        od_ref, texp_ref, tmin_ref, out_ref, mask_scr,
                        term_scr):
@@ -517,8 +549,7 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
         dx, dy, dz = od_ref[3:4, :], od_ref[4:5, :], od_ref[5:6, :]
         t_min = tmin_ref[0, 0]
         rb = od_ref.shape[1]
-        rows2 = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
-        rowmod = rows2 & (CLUSTER_SIZE - 1)
+        rows, rowmod = _rows_pair()
 
         # best starts at the ray's scene-bbox exit (+pad), NOT +inf:
         # rays that miss everything then stop blocking termination.
@@ -544,30 +575,21 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
         mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
 
         def body(r):
-            # two entered clusters per iteration: one Moeller sweep on a
-            # fused (2S, RB) slab pair halves the pick/argmin chain and
-            # loop fixed costs (an odd trailing cluster masks its pair)
-            mask = mask_scr[:, :] > 0.5
-            c_1 = jnp.min(jnp.where(mask, iota, SUPER))
-            c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
-            mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
-                                       0.0, mask_scr[:, :])
-            v2 = c_2 < SUPER
-            c2c = jnp.where(v2, c_2, 0)
-            tab = jnp.concatenate(
-                [slab_ref[pl.ds(c_1 * CLUSTER_SIZE, CLUSTER_SIZE), :],
-                 slab_ref[pl.ds(c2c * CLUSTER_SIZE, CLUSTER_SIZE), :]],
-                axis=0)
+            cs_, vs_ = _pick_clusters(mask_scr, iota)
+            tab = _pair_tab(slab_ref, cs_)
             t_b = out_ref[0:1, :]
             t, u, v, back, ok = _moeller_rows(
                 tab, ox, oy, oz, dx, dy, dz, t_min, t_b, watertight=wt)
-            ok = ok & ((rows2 < CLUSTER_SIZE) | v2)
+            if PAIR == 2:
+                ok = ok & ((rows < CLUSTER_SIZE) | vs_[1])
+                child = jnp.where(rows < CLUSTER_SIZE, cs_[0], cs_[1])
+            else:
+                child = cs_[0]
             # pack (t & ~0xFF) | (child << 4) | row: the integer min IS
             # the argmin, the id bits make every candidate unique, and
             # the winner's EXACT attributes are picked right here with
             # masked sums (replacing three 1M-row HBM gathers in the
             # old post-pass, ~4x)
-            child = jnp.where(rows2 < CLUSTER_SIZE, c_1, c2c)
             bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
                     | ((child << 4) + rowmod))
             cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
@@ -597,8 +619,9 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             # traversal-cost counter the iteration AOV reads; the
             # reference counts per-thread loop iterations,
             # MegakernelPathTracing.hlsl:286-288)
-            out_ref[7:8, :] = out_ref[7:8, :] + jnp.where(v2, 2.0, 1.0)
-            return r + 2
+            swept = sum(jnp.where(vv, 1.0, 0.0) for vv in vs_)
+            out_ref[7:8, :] = out_ref[7:8, :] + swept
+            return r + PAIR
 
         jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
 
@@ -636,28 +659,20 @@ def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
         ent, n = _entered(enter)
         iota = _iota_sup()
         mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
-        rows2 = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
+        rows, _ = _rows_pair()
 
         def body(r):
             # paired sweep (see the closest kernel)
-            mask = mask_scr[:, :] > 0.5
-            c_1 = jnp.min(jnp.where(mask, iota, SUPER))
-            c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
-            mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
-                                       0.0, mask_scr[:, :])
-            v2 = c_2 < SUPER
-            c2c = jnp.where(v2, c_2, 0)
-            tab = jnp.concatenate(
-                [slab_ref[pl.ds(c_1 * CLUSTER_SIZE, CLUSTER_SIZE), :],
-                 slab_ref[pl.ds(c2c * CLUSTER_SIZE, CLUSTER_SIZE), :]],
-                axis=0)
+            cs_, vs_ = _pick_clusters(mask_scr, iota)
+            tab = _pair_tab(slab_ref, cs_)
             _, _, _, _, ok = _moeller_rows(
                 tab, ox, oy, oz, dx, dy, dz, t_min, t_max,
                 watertight=wt)
-            ok = ok & ((rows2 < CLUSTER_SIZE) | v2)
+            if PAIR == 2:
+                ok = ok & ((rows < CLUSTER_SIZE) | vs_[1])
             occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], jnp.where(
                 jnp.any(ok, axis=0, keepdims=True), 1.0, 0.0))
-            return r + 2
+            return r + PAIR
 
         jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
 
@@ -677,13 +692,13 @@ def _local_rays(inst_ref, od_ref):
     dx, dy, dz = od_ref[3:4, :], od_ref[4:5, :], od_ref[5:6, :]
 
     def m(j):
-        return inst_ref[0:1, j:j + 1]                  # (1, 1)
+        return inst_ref[0, 0:1, j:j + 1]               # (1, 1)
 
     ol = [ox * m(0 + ax) + oy * m(3 + ax) + oz * m(6 + ax) + m(9 + ax)
           for ax in range(3)]
     dl = [dx * m(0 + ax) + dy * m(3 + ax) + dz * m(6 + ax)
           for ax in range(3)]
-    flip = inst_ref[0:1, 12:13] > 0.5
+    flip = inst_ref[0, 0:1, 12:13] > 0.5
     return ol[0], ol[1], ol[2], dl[0], dl[1], dl[2], flip
 
 
@@ -846,8 +861,11 @@ def _sweep_specs_inst(extra_row_specs):
         pl.BlockSpec((SUPER * CLUSTER_SIZE, 13),
                      lambda i, bf, su, sl, it, te: (sl[i], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 16),
-                     lambda i, bf, su, sl, it, te: (it[i], 0),
+        # (1, 1, 16) on a (I, 1, 16) view: a plain (1, 16) block on
+        # (I, 16) violates Mosaic's sublane-divisibility rule and only
+        # fails at COMPILE on hardware (interpret mode accepts it)
+        pl.BlockSpec((1, 1, 16),
+                     lambda i, bf, su, sl, it, te: (it[i], 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((9, RB),
                      lambda i, bf, su, sl, it, te:
@@ -1061,7 +1079,7 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
                 out_shape=jax.ShapeDtypeStruct((8, rp), F32),
                 interpret=interpret,
             )(blkflags, sup, sl, it, t_ent, cbox3, ctab,
-              scene.inst_rows, od, texp, tmin_arr)
+              scene.inst_rows[:, None, :], od, texp, tmin_arr)
         else:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -1189,7 +1207,7 @@ def _any_impl(scene, origin, direction, t_max, t_min, interpret,
                 out_shape=jax.ShapeDtypeStruct((1, rp), F32),
                 interpret=interpret,
             )(blkflags, sup, sl, it, t_ent, cbox3, ctab,
-              scene.inst_rows, od, tm, tmin_arr)
+              scene.inst_rows[:, None, :], od, tm, tmin_arr)
         else:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,

@@ -244,6 +244,39 @@ class Renderer:
                                        params,
                                        aperture_is_pinhole=pinhole))
 
+    # ---- headless scene edits (reference: per-frame editor writes,
+    # Source/Scene.cpp:672-807 — buffer-region updates, no BVH rebuild;
+    # here: SceneArrays field updates, no re-flatten, no recompile).
+    # Every edit resets the film like the reference's dirty flag.
+
+    def set_material(self, index, **fields):
+        """Edit a material (albedo/ior/roughness/tiling/opacity)."""
+        from ..scene.edit import update_material
+
+        self.arrays = update_material(self.arrays, index, **fields)
+        self.reset()
+
+    def set_light(self, index, radiance=None, position=None):
+        from ..scene.edit import update_light
+
+        self.arrays = update_light(self.arrays, index, radiance=radiance,
+                                   position=position)
+        self.reset()
+
+    def set_instance_override(self, index, material_override):
+        from ..scene.edit import update_instance_override
+
+        self.arrays = update_instance_override(self.arrays, index,
+                                               material_override)
+        self.reset()
+
+    def set_emitter_radiance(self, instance_index, radiance):
+        from ..scene.edit import update_emitter_radiance
+
+        self.arrays = update_emitter_radiance(self.arrays,
+                                              instance_index, radiance)
+        self.reset()
+
     # ---- checkpoint / resume (SURVEY.md §5: absent in the reference) ----
 
     def save_checkpoint(self, path):
