@@ -92,6 +92,38 @@ def build_local_clusters(tri_verts, tri_offsets, mesh_tri_counts,
     return (np.concatenate(slabs), np.concatenate(boxes), mso, msc)
 
 
+def baldwin_table(slab):
+    """Per-triangle Baldwin-Weber transform rows from a cluster slab
+    (Baldwin & Weber, JCGT 2016: precompute the world->barycentric
+    affine transform so the in-kernel test is a plane intersection plus
+    two dot products — ~40 VPU ops vs Moeller's ~60 on (S, RB) rows).
+
+    slab cols 0-8 = v0|v1|v2, 9-11 = meta (tri/inst/flip or tri/0/0),
+    12 = row. Returns (N, 16) f32:
+      [n(3) | c0 | r1(3) | c1 | r2(3) | c2 | meta(3) | row]
+    with t = (c0 - n.o)/(n.d), h = o + t d, u = r1.h + c1,
+    v = r2.h + c2. den = n.d equals Moeller's -det exactly, so the
+    1e-10 degeneracy threshold and the backface sign carry over.
+    Constants are derived in float64 and rounded once. Degenerate and
+    padding triangles produce n = 0 -> den = 0 -> never hit."""
+    v = slab[:, 0:9].astype(np.float64).reshape(-1, 3, 3)
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    n = np.cross(e1, e2)
+    n2 = (n * n).sum(1)
+    safe = np.where(n2 > 0, n2, 1.0)[:, None]
+    r1 = np.cross(e2, n) / safe
+    r2 = np.cross(n, e1) / safe
+    c0 = (n * v[:, 0]).sum(1)
+    c1 = -(r1 * v[:, 0]).sum(1)
+    c2 = -(r2 * v[:, 0]).sum(1)
+    deg = n2 <= 0.0
+    n = np.where(deg[:, None], 0.0, n)
+    return np.concatenate(
+        [n, c0[:, None], r1, c1[:, None], r2, c2[:, None],
+         slab[:, 9:12], slab[:, 12:13]], axis=1).astype(np.float32)
+
+
 def _morton3(q, bits=8):
     out = np.zeros(q.shape[0], np.int64)
     for b in range(bits):

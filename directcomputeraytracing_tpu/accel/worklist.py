@@ -31,8 +31,15 @@ a bundle-synchronous descent over ray *bundles*:
          the reference gets from its t_max test; expanding clusters
          breadth-first WITHOUT this evolving prune measured 8x worse —
          most clusters a ray's line pierces are behind its first hit);
-      2. a dynamic-trip-count loop Moeller-sweeps exactly the entered
-         16-triangle clusters from the VMEM-resident slab;
+      2. a dynamic-trip-count loop sweeps the entered 16-triangle
+         clusters NEAREST-FIRST (the pick key bit-packs each cluster's
+         bundle entry distance with its id, so one integer min is
+         "nearest remaining") from the VMEM-resident slab, running
+         Baldwin-Weber on precomputed transform rows (~40 VPU ops vs
+         Moeller's ~60; watertight mode keeps PBRT permute+shear on
+         the raw-vertex slab); the loop BREAKS once the nearest
+         remaining cluster's entry lies beyond every ray's current
+         best;
       3. the best hit is BIT-PACKED as (t & ~_LOWM)|(child<<4)|row so
          one integer min IS the argmin, and the winner's EXACT
          t/u/v/triangle/instance/facing are picked in-kernel by masked
@@ -77,14 +84,18 @@ HIER_MIN = 192               # supers above which phase A goes
                              # hyper -> super hierarchical; the hyper
                              # fan-out adapts so the dense hyper cull
                              # stays at 64-128 lanes (_hyper_fanout)
-CT = 128                     # supercluster lane tile of the coarse cull
-                             # (128 keeps the (RB, CT) slab intermediates
-                             # at ~0.5 MB — 256 spilled VMEM at 212k tris)
 MAX_COARSE = int(_os.environ.get("DCRT_WL_MAXC", "49152"))  # SMEM budget
 MAX_HYPER = int(_os.environ.get("DCRT_WL_MAXH", "16384"))
                              # (block, hyper) refine items per dispatch
 PAIR = int(_os.environ.get("DCRT_WL_PAIR", "2"))
                              # clusters fused per sweep iteration (1|2)
+_NOSEL = _os.environ.get("DCRT_WL_DEBUG_NOSEL") == "1"
+                             # diagnostic: skip winner-attribute
+                             # selection (WRONG results; isolates the
+                             # sel-chain share of sweep time)
+_PREP_ENV = _os.environ.get("DCRT_WL_PREP", "")
+                             # "xla" forces the XLA concat+transpose
+                             # ray prep (A/B against the Pallas kernel)
 SLICE_RAYS = 1 << 20         # larger batches run as lax.map slices so
                              # item counts stay inside the SMEM budget
 _BLOCK_SHIFT = 2
@@ -94,13 +105,15 @@ _FAR = 2.0 * BIG ** 0.5      # padding-ray origin: misses all geometry
 
 
 def _prep_rays_wl(origin, direction, t_max=None):
-    """(R, 3) x2 [+ per-ray t_max] -> (od (9, Rpad) [o; d; inv_d] fused
-    sweep operand, odt (Rpad, 16) [o|d|t_max|0|inv_d|0*5]
-    rays-on-sublanes cull operand, tm (1, Rpad) sweep t_max row, R).
-    The direction reciprocals are precomputed here (fused XLA
-    elementwise) for BOTH layouts: (1, RB) divisions inside the per-
-    item kernels cost ~3 vector divides per item. Pads to 8 bundles
-    with far-away zero-range rays that enter nothing."""
+    """(R, 3) x2 [+ per-ray t_max] -> (od (9, Rpad) [o; d; inv_d]
+    rays-on-lanes operand shared by EVERY phase, tm (1, Rpad) per-ray
+    t_max row, R). The direction reciprocals are precomputed here
+    (fused XLA elementwise): (1, RB) divisions inside the per-item
+    kernels cost ~3 vector divides per item. Pads to 8 bundles with
+    far-away zero-range rays that enter nothing. (The old second
+    rays-on-sublanes (Rp, 16) layout for the coarse cull cost ~8 ms/1M
+    rays in narrow transposes + concats — the cull now runs
+    boxes-on-sublanes off this same layout.)"""
     r = origin.shape[0]
     quantum = 8 * RB
     pad = -(-r // quantum) * quantum - r
@@ -124,47 +137,86 @@ def _prep_rays_wl(origin, direction, t_max=None):
         tm = jnp.concatenate(
             [jnp.broadcast_to(jnp.asarray(t_max, F32), (r,)),
              jnp.zeros((pad,), F32)])
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
-                          jnp.where(d >= 0, 1e-30, -1e-30), d)
-    od = jnp.concatenate([o.T, d.T, inv.T], axis=0)
-    rp = r + pad
-    odt = jnp.concatenate(
-        [o, d, tm[:, None], jnp.zeros((rp, 1), F32), inv,
-         jnp.zeros((rp, 5), F32)], axis=1)
-    return od, odt, tm[None, :], r
+    # XLA concat+transpose route by default: a fused Pallas layout
+    # kernel reading (RB, 3) blocks measured WORSE (13.2 vs 7.7 ms/1M
+    # rays — narrow-lane block reads). DCRT_WL_PREP=pallas re-enables
+    # it for A/B.
+    if _PREP_ENV != "pallas" or jax.default_backend() != "tpu":
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                              jnp.where(d >= 0, 1e-30, -1e-30), d)
+        od = jnp.concatenate([o, d, inv], axis=1).T
+        return od, tm[None, :], r
+    od = _prep_od_pallas(o, d)
+    return od, tm[None, :], r
+
+
+def _prep_od_kernel(o_ref, d_ref, od_ref):
+    """(RB, 3) ray blocks -> (9, RB) [o; d; inv] layout rotation done
+    where it is cheap: one in-VMEM transpose per block instead of an
+    XLA relayout of the whole (R, 9) table (measured ~7.5 ms/1M rays,
+    a quarter of the closest pass; this kernel replaces it)."""
+    ot = o_ref[:, :].T                                 # (3, RB)
+    dt = d_ref[:, :].T
+    inv = 1.0 / jnp.where(jnp.abs(dt) < 1e-30,
+                          jnp.where(dt >= 0, 1e-30, -1e-30), dt)
+    od_ref[0:3, :] = ot
+    od_ref[3:6, :] = dt
+    od_ref[6:9, :] = inv
+
+
+def _prep_od_pallas(o, d):
+    rp = o.shape[0]
+    return pl.pallas_call(
+        _prep_od_kernel,
+        grid=(rp // RB,),
+        in_specs=[
+            pl.BlockSpec((RB, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9, RB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, rp), F32),
+    )(o, d)
 
 
 _INVERTED_BOX = [[1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 0.0, 0.0]]
+BT = 64                      # coarse-cull boxes per sublane tile
 
 
-def _lane_pad_boxes(box, tile_floor=128):
-    """(n, 8) boxes -> (8, n_pad) transposed, lane-padded with inverted
-    never-entered boxes to a CT (or tile_floor) multiple."""
+def _sublane_pad_boxes(box):
+    """(n, 8) boxes -> (n_pad, 8) row-padded with inverted
+    never-entered boxes to a BT multiple (sublane tiles of the
+    boxes-on-sublanes coarse cull)."""
     n = box.shape[0]
-    ct = CT if n > tile_floor else tile_floor
-    n_pad = -(-n // ct) * ct
+    bt = BT if n > BT else max(8, -(-n // 8) * 8)
+    n_pad = -(-n // bt) * bt
     if n_pad != n:
         pad_rows = jnp.tile(jnp.asarray(_INVERTED_BOX, F32),
                             (n_pad - n, 1))
         box = jnp.concatenate([box, pad_rows], axis=0)
-    return box.T
+    return box
 
 
 def _pad_tables(scene):
-    """Cluster table + box hierarchy padded to SUPER multiples.
+    """Cluster tables + box hierarchy padded to SUPER multiples.
 
-    Returns (ctab (Cs*SLAB, 13) triangle slabs, cbox3 (Cs, SUPER, 8)
-    child boxes (never-hit padding), sboxv (8, Cs_pad) super boxes
-    transposed and lane-padded to a CT multiple, Cpad, Cs,
-    hyper) where hyper is None (small scenes) or the phase-A hierarchy
-    operands (hsup (NH, HS, 8) per-hyper member-super boxes,
-    hboxv (8, NH_pad) hyper boxes, NH, HS)."""
+    Returns (tabs = (ctab (Cs*SLAB, 13) raw-vertex slabs for the
+    watertight sweep, bwtab (Cs*SLAB, 16) Baldwin-Weber slabs for the
+    default sweep), cbox3 (Cs, SUPER, 8) child boxes (never-hit
+    padding), sbox (Cs_pad, 8) super box rows padded to a BT
+    sublane-tile multiple, Cpad, Cs, hyper) where hyper is None (small
+    scenes) or the phase-A hierarchy operands (hsup (NH, HS, 8)
+    per-hyper member-super boxes, hbox (NH_pad, 8), NH, HS)."""
     ctab = scene.cluster_tris
+    bwtab = scene.cluster_bw
     cbox = scene.cluster_bbox
     c = cbox.shape[0]
     cpad = -(-c // SUPER) * SUPER
     if cpad != c:
         ctab = jnp.pad(ctab, ((0, (cpad - c) * CLUSTER_SIZE), (0, 0)))
+        bwtab = jnp.pad(bwtab, ((0, (cpad - c) * CLUSTER_SIZE), (0, 0)))
         pad_rows = jnp.tile(jnp.asarray(_INVERTED_BOX, cbox.dtype),
                             (cpad - c, 1))
         cbox = jnp.concatenate([cbox, pad_rows], axis=0)
@@ -176,7 +228,7 @@ def _pad_tables(scene):
     # inverted -> never entered
     sbox = jnp.concatenate(
         [sb_min, sb_max, jnp.zeros((cs, 2), F32)], axis=1)
-    return ctab, cbox3, _lane_pad_boxes(sbox), cpad, cs, \
+    return (ctab, bwtab), cbox3, _sublane_pad_boxes(sbox), cpad, cs, \
         _build_hyper(sbox, cs)
 
 
@@ -203,7 +255,7 @@ def _build_hyper(sbox, cs):
         [jnp.where(all_pad[:, None], 1.0, hb_min),
          jnp.where(all_pad[:, None], -1.0, hb_max),
          jnp.zeros((nh, 2), F32)], axis=1)
-    return (hsup, _lane_pad_boxes(hbox), nh, hs)
+    return (hsup, _sublane_pad_boxes(hbox), nh, hs)
 
 
 def _instanced(scene):
@@ -214,12 +266,12 @@ def _instanced(scene):
 
 def _pad_tables_instanced(scene):
     """Instanced-mode phase tables: per-(instance, super) world boxes
-    drive the cull exactly like world-soup supers; the slab table is
+    drive the cull exactly like world-soup supers; the slab tables are
     mesh-local and indexed separately (isup_local)."""
     sbox = scene.isup_sbox
     cs = sbox.shape[0]
-    return (scene.icl_slab, scene.isup_cbox, _lane_pad_boxes(sbox),
-            None, cs, _build_hyper(sbox, cs))
+    return ((scene.icl_slab, scene.icl_bw), scene.isup_cbox,
+            _sublane_pad_boxes(sbox), None, cs, _build_hyper(sbox, cs))
 
 
 def _hyper_fanout(cs):
@@ -233,63 +285,68 @@ def _hyper_fanout(cs):
 # Phase A: exact bundle-vs-supercluster cull
 # ---------------------------------------------------------------------------
 
-def _exact_tlo_plane(box_row, odt, n_boxes):
-    """Exact slab test of every ray (sublanes) against every box
-    (lanes). box_row(ax) -> (1, n) bmin component, box_row(3+ax) bmax;
-    odt (RB, 16) [o|d|t_max|0|inv_d|...]. Returns (1, n) per-box min
-    entry over entering rays (BIG = no ray enters within its t_max)."""
-    rb = odt.shape[0]
-    t_lo = jnp.full((rb, n_boxes), -BIG, F32)
-    t_hi = jnp.full((rb, n_boxes), BIG, F32)
+def _tlo_rows(box_ref, od, tm, n_rows):
+    """Exact slab test of every box (sublanes) against every ray
+    (lanes): box_ref (n_rows, 8) box rows, od (9, RB) [o; d; inv],
+    tm (1, RB) per-ray t_max. Returns the (n_rows, 1) per-box min
+    entry over entering rays (BIG = no ray enters within its t_max).
+    Rays-on-lanes keeps every vreg 128-lane-full — the old
+    rays-on-sublanes formulation paid 2x the vregs at <=64 boxes and
+    needed its own (Rp, 16) ray layout."""
+    rb = od.shape[1]
+    t_lo = jnp.full((n_rows, rb), -BIG, F32)
+    t_hi = jnp.full((n_rows, rb), BIG, F32)
     for ax in range(3):
-        o_c = odt[:, ax:ax + 1]                        # (RB, 1)
-        inv = odt[:, 8 + ax:9 + ax]
-        a = (box_row(ax) - o_c) * inv                  # (RB, n)
-        b = (box_row(3 + ax) - o_c) * inv
+        inv = od[6 + ax:7 + ax, :]                     # (1, RB)
+        o_c = od[ax:ax + 1, :]
+        b0 = box_ref[:, ax:ax + 1]                     # (n_rows, 1)
+        b1 = box_ref[:, 3 + ax:4 + ax]
+        a = (b0 - o_c) * inv                           # (n_rows, RB)
+        b = (b1 - o_c) * inv
         t_lo = jnp.maximum(t_lo, jnp.minimum(a, b))
         t_hi = jnp.minimum(t_hi, jnp.maximum(a, b))
-    t_cap = odt[:, 6:7]
-    enter = (t_hi >= t_lo) & (t_hi >= 0.0) & (t_lo <= t_cap)
+    enter = (t_hi >= t_lo) & (t_hi >= 0.0) & (t_lo <= tm)
     per_ray = jnp.where(enter, jnp.maximum(t_lo, 0.0), BIG)
-    return jnp.min(per_ray, axis=0, keepdims=True)
+    return jnp.min(per_ray, axis=1, keepdims=True)
 
 
-def _cull_super_kernel(sbox_ref, odt_ref, tlo_ref):
-    tlo_ref[0, 0:1, :] = _exact_tlo_plane(
-        lambda i: sbox_ref[i:i + 1, :], odt_ref[:, :],
-        sbox_ref.shape[1])
+def _cull_super_kernel(bt, box_ref, od_ref, tm_ref, tlo_ref):
+    tlo_ref[0, :, :] = _tlo_rows(box_ref[:, :], od_ref[:, :],
+                                 tm_ref[0:1, :], bt)
 
 
-def _cull_super(sboxv, odt, interpret=False):
-    rp = odt.shape[0]
+def _cull_super(sbox, od, tm, interpret=False):
+    rp = od.shape[1]
     nb = rp // RB
-    cs_pad = sboxv.shape[1]
-    ct = CT if cs_pad > 128 else cs_pad
+    n_pad = sbox.shape[0]
+    bt = BT if n_pad >= BT else n_pad
     out = pl.pallas_call(
-        _cull_super_kernel,
-        grid=(nb, cs_pad // ct),
+        functools.partial(_cull_super_kernel, bt),
+        grid=(nb, n_pad // bt),
         in_specs=[
-            pl.BlockSpec((8, ct), lambda i, j: (0, j),
+            pl.BlockSpec((bt, 8), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 16), lambda i, j: (i, 0),
+            pl.BlockSpec((9, RB), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RB), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, ct), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((1, bt, 1), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 1, cs_pad), F32),
+        out_shape=jax.ShapeDtypeStruct((nb, n_pad, 1), F32),
         interpret=interpret,
-    )(sboxv, odt)
-    return out[:, 0, :]
+    )(sbox, od, tm)
+    return out[:, :, 0]
 
 
-def _exact_tlo_super(sboxv, odt):
+def _exact_tlo_super(sbox, od, tm):
     """XLA mirror of the coarse cull (test oracle)."""
-    nb = odt.shape[0] // RB
-    odt3 = odt.reshape(nb, RB, 16)
+    nb = od.shape[1] // RB
+    od3 = od.T.reshape(nb, RB, 9).transpose(0, 2, 1)   # (nb, 9, RB)
+    tm3 = tm.reshape(nb, 1, RB)
     rows = jax.vmap(
-        lambda o: _exact_tlo_plane(
-            lambda i: sboxv[i:i + 1, :], o, sboxv.shape[1]))(odt3)
-    return rows[:, 0, :]
+        lambda o, t: _tlo_rows(sbox, o, t, sbox.shape[0]))(od3, tm3)
+    return rows[:, :, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -432,37 +489,33 @@ def _expand_level(tlo_child, bf_parent, parent_idx, k, bound, nb, cap):
 _LOWM = (SUPER << 4) - 1     # packed best-hit low bits: (child<<4)|row
 
 
-def _moeller_rows(tab, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                  watertight=False):
-    """(S, RB) Moeller-Trumbore (or PBRT watertight) for one
-    16-triangle cluster slab -> (t, u, v, back, ok), matching
-    pallas_brute.watertight_rows."""
+def _isect_rows(tab, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                watertight=False):
+    """(S, RB) triangle test for one cluster slab -> (t, u, v, back,
+    ok). Non-watertight sweeps run Baldwin-Weber on the precomputed
+    transform table (cluster.baldwin_table: ~40 VPU ops vs Moeller's
+    ~60 — the sweep loop is compute-bound, so this is a direct ~1.3x);
+    watertight runs the PBRT permute+shear test on the raw-vertex
+    table. den = n.d is exactly Moeller's -det, so the degeneracy
+    threshold and the backface sign carry over."""
     c = lambda i: tab[:, i:i + 1]                     # (S, 1)
     if watertight:
         from .pallas_brute import watertight_rows
 
         return watertight_rows(c, ox, oy, oz, dx, dy, dz, t_min, t_max)
-    v0x, v0y, v0z = c(0), c(1), c(2)
-    v1x, v1y, v1z = c(3), c(4), c(5)
-    v2x, v2y, v2z = c(6), c(7), c(8)
-    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    det_ok = jnp.abs(det) >= 1e-10
-    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-    ok = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+    nx, ny, nz, c0 = c(0), c(1), c(2), c(3)
+    den = nx * dx + ny * dy + nz * dz
+    den_ok = jnp.abs(den) >= 1e-10
+    inv_den = 1.0 / jnp.where(den_ok, den, 1.0)
+    t = (c0 - (nx * ox + ny * oy + nz * oz)) * inv_den
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    u = c(4) * hx + c(5) * hy + c(6) * hz + c(7)
+    v = c(8) * hx + c(9) * hy + c(10) * hz + c(11)
+    ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
           & (t >= t_min) & (t < t_max))
-    return t, u, v, det > -1e-10, ok
+    return t, u, v, den < 1e-10, ok
 
 
 def _fine_enter(cbox_ref, od_ref, cap_row):
@@ -470,7 +523,7 @@ def _fine_enter(cbox_ref, od_ref, cap_row):
     the bundle, pruned per ray by cap_row (current best t / t_max /
     occlusion state — the per-ray front-to-back pruning the reference
     gets from its t_max test, BVHAccel.inc.hlsl:119). Returns
-    (SUPER, RB) enter mask."""
+    ((SUPER, RB) enter mask, (SUPER, RB) clamped entry distances)."""
     rb = od_ref.shape[1]
     t_lo = jnp.full((SUPER, rb), -BIG, F32)
     t_hi = jnp.full((SUPER, rb), BIG, F32)
@@ -483,35 +536,50 @@ def _fine_enter(cbox_ref, od_ref, cap_row):
         b = (b1 - o_c) * inv
         t_lo = jnp.maximum(t_lo, jnp.minimum(a, b))
         t_hi = jnp.minimum(t_hi, jnp.maximum(a, b))
-    return (t_hi >= t_lo) & (t_hi >= 0.0) & (t_lo < cap_row)
+    enter = (t_hi >= t_lo) & (t_hi >= 0.0) & (t_lo < cap_row)
+    return enter, jnp.maximum(t_lo, 0.0)
 
 
-def _entered(enter):
-    """(SUPER, RB) enter mask -> (ent (SUPER,1) bool, n scalar). The
-    sweep loop walks entered children by pick-first-and-clear (one
-    min-reduce per child) — Mosaic has no vector cumsum."""
+_KEYM = 63                    # pick-key low bits: cluster id
+_INF_KEY = 0x7FFFFFFF         # plain int: jnp constants may not be
+                              # captured by pallas kernel closures
+assert SUPER <= _KEYM + 1, "pick keys pack the cluster id in 6 bits"
+
+
+def _cluster_keys(enter, t_lo, iota):
+    """(SUPER, RB) enter/entry -> ((SUPER, 1) packed front-to-back pick
+    keys (t_entry bits | cluster id — the integer min IS 'nearest
+    remaining cluster', the same bit-packed-argmin trick as the hit
+    selection), n entered). The t-order is what makes the in-loop
+    early break possible: once the nearest remaining cluster's entry
+    lies beyond every ray's current best, nothing left can hit."""
     ent = jnp.any(enter, axis=1, keepdims=True)
-    return ent, jnp.sum(ent.astype(I32))
+    t_ent = jnp.min(jnp.where(enter, t_lo, BIG), axis=1, keepdims=True)
+    keys = jnp.where(
+        ent, (jax.lax.bitcast_convert_type(t_ent, I32) & ~_KEYM) | iota,
+        _INF_KEY)
+    return keys, jnp.sum(ent.astype(I32))
 
 
 def _iota_sup():
     return jax.lax.broadcasted_iota(I32, (SUPER, 1), 0)
 
 
-def _pick_clusters(mask_scr, iota):
-    """Pop the next PAIR entered clusters from the scratch mask:
-    (c_ids, valid_flags). With PAIR=2 one fused (2S, RB) sweep halves
-    the pick/argmin chain and loop fixed costs."""
-    mask = mask_scr[:, :] > 0.5
-    c_1 = jnp.min(jnp.where(mask, iota, SUPER))
+def _pick_clusters(key_scr, iota):
+    """Pop the PAIR nearest remaining clusters from the key scratch:
+    (c_ids, valid_flags, nearest_key). With PAIR=2 one fused (2S, RB)
+    sweep halves the pick/argmin chain and loop fixed costs."""
+    k_1 = jnp.min(key_scr[:, :])
+    c_1 = k_1 & _KEYM
     if PAIR == 1:
-        mask_scr[:, :] = jnp.where(iota == c_1, 0.0, mask_scr[:, :])
-        return [c_1], [c_1 < SUPER]
-    c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
-    mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
-                               0.0, mask_scr[:, :])
-    return [c_1, jnp.where(c_2 < SUPER, c_2, 0)], [c_1 < SUPER,
-                                                   c_2 < SUPER]
+        key_scr[:, :] = jnp.where(iota == c_1, _INF_KEY, key_scr[:, :])
+        return [c_1], [k_1 < _INF_KEY], k_1
+    k_2 = jnp.min(jnp.where(iota == c_1, _INF_KEY, key_scr[:, :]))
+    c_2 = k_2 & _KEYM
+    v_2 = k_2 < _INF_KEY
+    key_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
+                              _INF_KEY, key_scr[:, :])
+    return [c_1, jnp.where(v_2, c_2, 0)], [k_1 < _INF_KEY, v_2], k_1
 
 
 def _pair_tab(slab_ref, cs_, base=0):
@@ -566,64 +634,85 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
                 out_ref[j:j + 1, :] = jnp.zeros((1, rb), F32)
             term_scr[0] = BIG
 
-        enter = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :])
-        ent, n = _entered(enter)
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :])
         iota = _iota_sup()
+        keys, n = _cluster_keys(enter, t_lo, iota)
         # Mosaic legalizes while loops with scalar carries only: the
-        # remaining-children mask and best-hit state live in scratch /
-        # the output ref, the loop carries just the trip counter
-        mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
+        # remaining-children keys and best-hit state live in scratch /
+        # the output ref, the loop carries the trip counter + stop flag
+        mask_scr[:, :] = keys
 
-        def body(r):
-            cs_, vs_ = _pick_clusters(mask_scr, iota)
-            tab = _pair_tab(slab_ref, cs_)
-            t_b = out_ref[0:1, :]
-            t, u, v, back, ok = _moeller_rows(
-                tab, ox, oy, oz, dx, dy, dz, t_min, t_b, watertight=wt)
-            if PAIR == 2:
-                ok = ok & ((rows < CLUSTER_SIZE) | vs_[1])
-                child = jnp.where(rows < CLUSTER_SIZE, cs_[0], cs_[1])
-            else:
-                child = cs_[0]
-            # pack (t & ~0xFF) | (child << 4) | row: the integer min IS
-            # the argmin, the id bits make every candidate unique, and
-            # the winner's EXACT attributes are picked right here with
-            # masked sums (replacing three 1M-row HBM gathers in the
-            # old post-pass, ~4x)
-            bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
-                    | ((child << 4) + rowmod))
-            cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
-            pmin = jnp.min(cand, axis=0, keepdims=True)
-            best = jax.lax.bitcast_convert_type(t_b, I32)
-            better = pmin < best
-            win = cand == pmin                       # exactly one row
+        def cond(c):
+            return (c[0] < n) & (c[1] == 0)
 
-            def pick(x):
-                return jnp.sum(jnp.where(win, x, 0.0), axis=0,
-                               keepdims=True)
+        def body(c):
+            r, _ = c
+            cs_, vs_, k_1 = _pick_clusters(mask_scr, iota)
+            # in-item early break: picks arrive nearest-first, so once
+            # the nearest remaining cluster's entry (t bits, truncated
+            # like the hit packing) is past EVERY ray's current best,
+            # no remaining cluster can produce an improving hit
+            bnd = jnp.max(jax.lax.bitcast_convert_type(
+                out_ref[0:1, :], I32))
+            stop = (k_1 & ~_LOWM) >= bnd
 
-            def sel(j, x):
-                out_ref[j:j + 1, :] = jnp.where(better, pick(x),
-                                                out_ref[j:j + 1, :])
+            @pl.when(~stop)
+            def _():
+                tab = _pair_tab(slab_ref, cs_)
+                t_b = out_ref[0:1, :]
+                t, u, v, back, ok = _isect_rows(
+                    tab, ox, oy, oz, dx, dy, dz, t_min, t_b,
+                    watertight=wt)
+                if PAIR == 2:
+                    ok = ok & ((rows < CLUSTER_SIZE) | vs_[1])
+                    child = jnp.where(rows < CLUSTER_SIZE, cs_[0],
+                                      cs_[1])
+                else:
+                    child = cs_[0]
+                # pack (t & ~0x1FF) | (child << 4) | row: the integer
+                # min IS the argmin, the id bits make every candidate
+                # unique, and the winner's EXACT attributes are picked
+                # right here with masked sums (replacing three 1M-row
+                # HBM gathers in the old post-pass, ~4x)
+                bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
+                        | ((child << 4) + rowmod))
+                cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
+                pmin = jnp.min(cand, axis=0, keepdims=True)
+                best = jax.lax.bitcast_convert_type(t_b, I32)
+                better = pmin < best
+                win = cand == pmin                   # exactly one row
 
-            out_ref[0:1, :] = jax.lax.bitcast_convert_type(
-                jnp.where(better, pmin, best), F32)
-            sel(1, jnp.broadcast_to(t, cand.shape))
-            sel(2, jnp.broadcast_to(u, cand.shape))
-            sel(3, jnp.broadcast_to(v, cand.shape))
-            sel(4, jnp.broadcast_to(tab[:, 9:10], cand.shape))
-            sel(5, jnp.broadcast_to(tab[:, 10:11], cand.shape))
-            flipped = back ^ (tab[:, 11:12] > 0.5)
-            sel(6, jnp.where(flipped, 1.0, 0.0))
-            # row 7: clusters swept for this block (the production-path
-            # traversal-cost counter the iteration AOV reads; the
-            # reference counts per-thread loop iterations,
-            # MegakernelPathTracing.hlsl:286-288)
-            swept = sum(jnp.where(vv, 1.0, 0.0) for vv in vs_)
-            out_ref[7:8, :] = out_ref[7:8, :] + swept
-            return r + PAIR
+                def pick(x):
+                    return jnp.sum(jnp.where(win, x, 0.0), axis=0,
+                                   keepdims=True)
 
-        jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
+                def sel(j, x):
+                    out_ref[j:j + 1, :] = jnp.where(better, pick(x),
+                                                    out_ref[j:j + 1, :])
+
+                out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                    jnp.where(better, pmin, best), F32)
+                if not _NOSEL:
+                    mc = 9 if wt else 12   # meta cols: tri|inst|flip
+                    sel(1, jnp.broadcast_to(t, cand.shape))
+                    sel(2, jnp.broadcast_to(u, cand.shape))
+                    sel(3, jnp.broadcast_to(v, cand.shape))
+                    sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
+                                            cand.shape))
+                    sel(5, jnp.broadcast_to(tab[:, mc + 1:mc + 2],
+                                            cand.shape))
+                    flipped = back ^ (tab[:, mc + 2:mc + 3] > 0.5)
+                    sel(6, jnp.where(flipped, 1.0, 0.0))
+                # row 7: clusters swept for this block (the
+                # production-path traversal-cost counter the iteration
+                # AOV reads; the reference counts per-thread loop
+                # iterations, MegakernelPathTracing.hlsl:286-288)
+                swept = sum(jnp.where(vv, 1.0, 0.0) for vv in vs_)
+                out_ref[7:8, :] = out_ref[7:8, :] + swept
+
+            return r + PAIR, stop.astype(I32)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
         @pl.when(n > 0)
         def _():
@@ -655,26 +744,32 @@ def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
 
         # occluded rays stop entering anything (per-ray prune)
         cap_row = jnp.where(occ_ref[0:1, :] > 0.5, -BIG, t_max)
-        enter = _fine_enter(cbox_ref, od_ref, cap_row)
-        ent, n = _entered(enter)
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, cap_row)
         iota = _iota_sup()
-        mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
+        keys, n = _cluster_keys(enter, t_lo, iota)
+        mask_scr[:, :] = keys
         rows, _ = _rows_pair()
 
-        def body(r):
-            # paired sweep (see the closest kernel)
-            cs_, vs_ = _pick_clusters(mask_scr, iota)
+        def cond(c):
+            return (c[0] < n) & (c[1] == 0)
+
+        def body(c):
+            # paired nearest-first sweep (see the closest kernel); the
+            # in-item break fires once every ray is occluded
+            r, _ = c
+            cs_, vs_, _k1 = _pick_clusters(mask_scr, iota)
             tab = _pair_tab(slab_ref, cs_)
-            _, _, _, _, ok = _moeller_rows(
+            _, _, _, _, ok = _isect_rows(
                 tab, ox, oy, oz, dx, dy, dz, t_min, t_max,
                 watertight=wt)
             if PAIR == 2:
                 ok = ok & ((rows < CLUSTER_SIZE) | vs_[1])
             occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], jnp.where(
                 jnp.any(ok, axis=0, keepdims=True), 1.0, 0.0))
-            return r + PAIR
+            all_occ = jnp.min(occ_ref[0:1, :]) > 0.5
+            return r + PAIR, all_occ.astype(I32)
 
-        jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
         @pl.when(n > 0)
         def _():
@@ -718,8 +813,7 @@ def _wl_closest_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
     def _():
         t_min = tmin_ref[0, 0]
         rb = od_ref.shape[1]
-        rows2 = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
-        rowmod = rows2 & (CLUSTER_SIZE - 1)
+        rows2, rowmod = _rows_pair()
 
         @pl.when(first)
         def _():
@@ -732,63 +826,76 @@ def _wl_closest_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
                 out_ref[j:j + 1, :] = jnp.zeros((1, rb), F32)
             term_scr[0] = BIG
 
-        enter = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :])
-        ent, n = _entered(enter)
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :])
         iota = _iota_sup()
-        mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
+        keys, n = _cluster_keys(enter, t_lo, iota)
+        mask_scr[:, :] = keys
         oxl, oyl, ozl, dxl, dyl, dzl, flip = _local_rays(inst_ref,
                                                          od_ref)
         inst_f = it_ref[i].astype(F32)
 
-        def body(r):
-            mask = mask_scr[:, :] > 0.5
-            c_1 = jnp.min(jnp.where(mask, iota, SUPER))
-            c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
-            mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
-                                       0.0, mask_scr[:, :])
-            v2 = c_2 < SUPER
-            c2c = jnp.where(v2, c_2, 0)
-            tab = jnp.concatenate(
-                [slab_ref[pl.ds(c_1 * CLUSTER_SIZE, CLUSTER_SIZE), :],
-                 slab_ref[pl.ds(c2c * CLUSTER_SIZE, CLUSTER_SIZE), :]],
-                axis=0)
-            t_b = out_ref[0:1, :]
-            t, u, v, back, ok = _moeller_rows(
-                tab, oxl, oyl, ozl, dxl, dyl, dzl, t_min, t_b,
-                watertight=wt)
-            ok = ok & ((rows2 < CLUSTER_SIZE) | v2)
-            child = jnp.where(rows2 < CLUSTER_SIZE, c_1, c2c)
-            bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
-                    | ((child << 4) + rowmod))
-            cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
-            pmin = jnp.min(cand, axis=0, keepdims=True)
-            best = jax.lax.bitcast_convert_type(t_b, I32)
-            better = pmin < best
-            win = cand == pmin
+        def cond(c):
+            return (c[0] < n) & (c[1] == 0)
 
-            def pick(x):
-                return jnp.sum(jnp.where(win, x, 0.0), axis=0,
-                               keepdims=True)
+        def body(c):
+            r, _ = c
+            cs_, vs_, k_1 = _pick_clusters(mask_scr, iota)
+            # in-item early break (see _wl_closest_kernel): the cull is
+            # in WORLD space and the Moeller t stays the world ray
+            # parameter (unnormalized local direction), so entry keys
+            # and hit bits stay comparable
+            bnd = jnp.max(jax.lax.bitcast_convert_type(
+                out_ref[0:1, :], I32))
+            stop = (k_1 & ~_LOWM) >= bnd
 
-            def sel(j, x):
-                out_ref[j:j + 1, :] = jnp.where(better, pick(x),
-                                                out_ref[j:j + 1, :])
+            @pl.when(~stop)
+            def _():
+                tab = _pair_tab(slab_ref, cs_)
+                t_b = out_ref[0:1, :]
+                t, u, v, back, ok = _isect_rows(
+                    tab, oxl, oyl, ozl, dxl, dyl, dzl, t_min, t_b,
+                    watertight=wt)
+                if PAIR == 2:
+                    ok = ok & ((rows2 < CLUSTER_SIZE) | vs_[1])
+                    child = jnp.where(rows2 < CLUSTER_SIZE, cs_[0],
+                                      cs_[1])
+                else:
+                    child = cs_[0]
+                bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
+                        | ((child << 4) + rowmod))
+                cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
+                pmin = jnp.min(cand, axis=0, keepdims=True)
+                best = jax.lax.bitcast_convert_type(t_b, I32)
+                better = pmin < best
+                win = cand == pmin
 
-            out_ref[0:1, :] = jax.lax.bitcast_convert_type(
-                jnp.where(better, pmin, best), F32)
-            sel(1, jnp.broadcast_to(t, cand.shape))
-            sel(2, jnp.broadcast_to(u, cand.shape))
-            sel(3, jnp.broadcast_to(v, cand.shape))
-            sel(4, jnp.broadcast_to(tab[:, 9:10], cand.shape))
-            # instance is the item's (scalar); facing flips with a
-            # negative-determinant instance transform
-            out_ref[5:6, :] = jnp.where(better, inst_f, out_ref[5:6, :])
-            flipped = back ^ flip
-            sel(6, jnp.where(flipped, 1.0, 0.0))
-            out_ref[7:8, :] = out_ref[7:8, :] + jnp.where(v2, 2.0, 1.0)
-            return r + 2
+                def pick(x):
+                    return jnp.sum(jnp.where(win, x, 0.0), axis=0,
+                                   keepdims=True)
 
-        jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
+                def sel(j, x):
+                    out_ref[j:j + 1, :] = jnp.where(better, pick(x),
+                                                    out_ref[j:j + 1, :])
+
+                out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                    jnp.where(better, pmin, best), F32)
+                mc = 9 if wt else 12       # tri-id col
+                sel(1, jnp.broadcast_to(t, cand.shape))
+                sel(2, jnp.broadcast_to(u, cand.shape))
+                sel(3, jnp.broadcast_to(v, cand.shape))
+                sel(4, jnp.broadcast_to(tab[:, mc:mc + 1], cand.shape))
+                # instance is the item's (scalar); facing flips with a
+                # negative-determinant instance transform
+                out_ref[5:6, :] = jnp.where(better, inst_f,
+                                            out_ref[5:6, :])
+                flipped = back ^ flip
+                sel(6, jnp.where(flipped, 1.0, 0.0))
+                swept = sum(jnp.where(vv, 1.0, 0.0) for vv in vs_)
+                out_ref[7:8, :] = out_ref[7:8, :] + swept
+
+            return r + PAIR, stop.astype(I32)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
         @pl.when(n > 0)
         def _():
@@ -815,50 +922,48 @@ def _wl_any_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
             term_scr[0] = F32(0.0)
 
         cap_row = jnp.where(occ_ref[0:1, :] > 0.5, -BIG, t_max)
-        enter = _fine_enter(cbox_ref, od_ref, cap_row)
-        ent, n = _entered(enter)
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, cap_row)
         iota = _iota_sup()
-        mask_scr[:, :] = jnp.where(ent, 1.0, 0.0)
-        rows2 = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
+        keys, n = _cluster_keys(enter, t_lo, iota)
+        mask_scr[:, :] = keys
+        rows2, _ = _rows_pair()
         oxl, oyl, ozl, dxl, dyl, dzl, _flip = _local_rays(inst_ref,
                                                           od_ref)
 
-        def body(r):
-            mask = mask_scr[:, :] > 0.5
-            c_1 = jnp.min(jnp.where(mask, iota, SUPER))
-            c_2 = jnp.min(jnp.where(mask & (iota != c_1), iota, SUPER))
-            mask_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
-                                       0.0, mask_scr[:, :])
-            v2 = c_2 < SUPER
-            c2c = jnp.where(v2, c_2, 0)
-            tab = jnp.concatenate(
-                [slab_ref[pl.ds(c_1 * CLUSTER_SIZE, CLUSTER_SIZE), :],
-                 slab_ref[pl.ds(c2c * CLUSTER_SIZE, CLUSTER_SIZE), :]],
-                axis=0)
-            _, _, _, _, ok = _moeller_rows(
+        def cond(c):
+            return (c[0] < n) & (c[1] == 0)
+
+        def body(c):
+            r, _ = c
+            cs_, vs_, _k1 = _pick_clusters(mask_scr, iota)
+            tab = _pair_tab(slab_ref, cs_)
+            _, _, _, _, ok = _isect_rows(
                 tab, oxl, oyl, ozl, dxl, dyl, dzl, t_min, t_max,
                 watertight=wt)
-            ok = ok & ((rows2 < CLUSTER_SIZE) | v2)
+            if PAIR == 2:
+                ok = ok & ((rows2 < CLUSTER_SIZE) | vs_[1])
             occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], jnp.where(
                 jnp.any(ok, axis=0, keepdims=True), 1.0, 0.0))
-            return r + 2
+            all_occ = jnp.min(occ_ref[0:1, :]) > 0.5
+            return r + PAIR, all_occ.astype(I32)
 
-        jax.lax.while_loop(lambda r: r < n, body, jnp.int32(0))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
         @pl.when(n > 0)
         def _():
             term_scr[0] = jnp.min(occ_ref[0:1, :])
 
 
-def _sweep_specs_inst(extra_row_specs):
+def _sweep_specs_inst(extra_row_specs, sw):
     """in_specs for the instanced sweep: per-(instance, super) child
-    boxes by global super id, mesh-local slab by local super id, the
-    instance transform row, the block's rays, extras, SMEM t_min."""
+    boxes by global super id, mesh-local slab (width sw) by local super
+    id, the instance transform row, the block's rays, extras, SMEM
+    t_min."""
     return [
         pl.BlockSpec((1, SUPER, 8),
                      lambda i, bf, su, sl, it, te: (su[i], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((SUPER * CLUSTER_SIZE, 13),
+        pl.BlockSpec((SUPER * CLUSTER_SIZE, sw),
                      lambda i, bf, su, sl, it, te: (sl[i], 0),
                      memory_space=pltpu.VMEM),
         # (1, 1, 16) on a (I, 1, 16) view: a plain (1, 16) block on
@@ -943,32 +1048,31 @@ def _scene_exit(scene, od):
     return (tex * 1.001 + 1e-3)[None, :]
 
 
-def _phases(scene, od, odt, interpret):
+def _phases(scene, od, tm, interpret):
     """Phases A-B: descend to a per-block front-to-back SUPER item
     list for the fused sweep. Large scenes add a hyper level (dense
     hyper cull + one generic refine) so the dense cull never exceeds
-    ~128 lanes; the evolving best-t pruning below super level lives in
+    BT sublanes; the evolving best-t pruning below super level lives in
     the fused sweep kernel itself (a pre-expanded cluster frontier
     without it measured 8x worse — most clusters a ray's infinite line
     pierces are behind its first hit)."""
-    ctab, cbox3, sboxv, cpad, cs, hyper = (
+    tabs, cbox3, sboxv, cpad, cs, hyper = (
         _pad_tables_instanced(scene) if _instanced(scene)
         else _pad_tables(scene))
     nb = od.shape[1] // RB
-    tm_row = odt[:, 6][None, :]
     cap_s = _capacity(nb, cs)
     if hyper is not None:
         hsup, hboxv, nh, hs = hyper
         cap_h = int(min(max(nb * 8, 1024), MAX_HYPER, nb * nh))
-        tlo_h = _cull_super(hboxv, odt, interpret=interpret)
+        tlo_h = _cull_super(hboxv, od, tm, interpret=interpret)
         bfh, hyp, _th, total_h, _ = _compact_pairs(tlo_h, nh, cap_h)
-        tlo_s = _refine_items(hsup, hs, bfh, hyp, od, tm_row, cap_h,
+        tlo_s = _refine_items(hsup, hs, bfh, hyp, od, tm, cap_h,
                               interpret)
         bf_s, sup, t_s, total_s = _expand_level(tlo_s, bfh, hyp, hs,
                                                 cs, nb, cap_s)
         fits = (total_h <= cap_h) & (total_s <= cap_s)
     else:
-        tlo_sd = _cull_super(sboxv, odt, interpret=interpret)
+        tlo_sd = _cull_super(sboxv, od, tm, interpret=interpret)
         bf_s, sup, t_s, total_s, _ = _compact_pairs(
             tlo_sd, cs, cap_s)
         fits = total_s <= cap_s
@@ -982,17 +1086,18 @@ def _phases(scene, od, odt, interpret):
         (bf_s & 1) == 1, mode="drop")
     blkflags, sup, t_ent = _finish_items(
         bf_s >> _BLOCK_SHIFT, sup, t_s, total_s, cap_s)
-    return ctab, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s
+    return tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s
 
 
-def _sweep_specs(extra_row_specs):
+def _sweep_specs(extra_row_specs, sw):
     """Common in_specs for the fused sweep: child boxes + triangle slab
+    (width sw: 16 Baldwin-Weber cols, 13 raw-vertex cols watertight)
     index-mapped by the item's super id, the block's rays, then
     per-kernel extra (1, RB) rows and the SMEM t_min."""
     return [
         pl.BlockSpec((1, SUPER, 8), lambda i, bf, su, te: (su[i], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((SUPER * CLUSTER_SIZE, 13),
+        pl.BlockSpec((SUPER * CLUSTER_SIZE, sw),
                      lambda i, bf, su, te: (su[i], 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((9, RB),
@@ -1045,16 +1150,17 @@ def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
 
 def _closest_impl(scene, origin, direction, t_min, interpret,
                   watertight=False):
-    od, odt, _, r = _prep_rays_wl(origin, direction)
+    od, tm, r = _prep_rays_wl(origin, direction)
     rp = od.shape[1]
-    ctab, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
-        scene, od, odt, interpret)
+    tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
+        scene, od, tm, interpret)
+    ctab = tabs[0] if watertight else tabs[1]
     texp = _scene_exit(scene, od)
     tmin_arr = jnp.full((1, 1), t_min, F32)
     inst_mode = _instanced(scene)
 
     def wl_path(_):
-        scratch = [pltpu.VMEM((SUPER, 1), F32), pltpu.SMEM((1,), F32)]
+        scratch = [pltpu.VMEM((SUPER, 1), I32), pltpu.SMEM((1,), F32)]
         if inst_mode:
             sl, it = _item_locals(scene, sup)
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1065,7 +1171,7 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
                                  lambda i, bf, su, sl, it, te:
                                  (0, _block_idx(bf, i)),
                                  memory_space=pltpu.VMEM),
-                ]),
+                ], 13 if watertight else 16),
                 out_specs=pl.BlockSpec(
                     (8, RB),
                     lambda i, bf, su, sl, it, te:
@@ -1089,7 +1195,7 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
                                  lambda i, bf, su, te:
                                  (0, _block_idx(bf, i)),
                                  memory_space=pltpu.VMEM),
-                ]),
+                ], 13 if watertight else 16),
                 out_specs=pl.BlockSpec(
                     (8, RB),
                     lambda i, bf, su, te: (0, _block_idx(bf, i)),
@@ -1174,15 +1280,16 @@ def worklist_any_pallas(scene, origin, direction, t_max, t_min=0.0,
 
 def _any_impl(scene, origin, direction, t_max, t_min, interpret,
               watertight=False):
-    od, odt, tm, r = _prep_rays_wl(origin, direction, t_max=t_max)
+    od, tm, r = _prep_rays_wl(origin, direction, t_max=t_max)
     rp = od.shape[1]
-    ctab, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
-        scene, od, odt, interpret)
+    tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
+        scene, od, tm, interpret)
+    ctab = tabs[0] if watertight else tabs[1]
     tmin_arr = jnp.full((1, 1), t_min, F32)
     inst_mode = _instanced(scene)
 
     def wl_path(_):
-        scratch = [pltpu.VMEM((SUPER, 1), F32), pltpu.SMEM((1,), F32)]
+        scratch = [pltpu.VMEM((SUPER, 1), I32), pltpu.SMEM((1,), F32)]
         if inst_mode:
             sl, it = _item_locals(scene, sup)
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1193,7 +1300,7 @@ def _any_impl(scene, origin, direction, t_max, t_min, interpret,
                                  lambda i, bf, su, sl, it, te:
                                  (0, _block_idx(bf, i)),
                                  memory_space=pltpu.VMEM),
-                ]),
+                ], 13 if watertight else 16),
                 out_specs=pl.BlockSpec(
                     (1, RB),
                     lambda i, bf, su, sl, it, te:
@@ -1217,7 +1324,7 @@ def _any_impl(scene, origin, direction, t_max, t_min, interpret,
                                  lambda i, bf, su, te:
                                  (0, _block_idx(bf, i)),
                                  memory_space=pltpu.VMEM),
-                ]),
+                ], 13 if watertight else 16),
                 out_specs=pl.BlockSpec(
                     (1, RB),
                     lambda i, bf, su, te: (0, _block_idx(bf, i)),

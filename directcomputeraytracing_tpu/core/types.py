@@ -49,6 +49,9 @@ class SceneArrays(NamedTuple):
     # fixed 64-triangle slabs + per-cluster AABBs ((64,12)/(1,8) when unused)
     cluster_tris: jnp.ndarray    # (C*S, 13) f32 (S = cluster.CLUSTER_SIZE)
     cluster_bbox: jnp.ndarray    # (C, 8) f32 bmin|bmax|pad
+    # Baldwin-Weber transform rows for the same slabs (non-watertight
+    # sweep fast path; cluster.baldwin_table): (C*S, 16) f32
+    cluster_bw: jnp.ndarray
     # Packed shading tables: one gather per vertex corner / material row
     # instead of one per attribute (gathers pay a fixed per-op cost on TPU)
     vtx_table: jnp.ndarray       # (V, 12) f32 pos|nrm|tan|uv|pad
@@ -83,6 +86,7 @@ class SceneArrays(NamedTuple):
     # Shaders/BVHAccel.inc.hlsl:127-140). Placeholders (NS=1) when the
     # world-soup clustered path is active instead.
     icl_slab: jnp.ndarray    # (CL*S, 13) f32 mesh-LOCAL cluster slabs
+    icl_bw: jnp.ndarray      # (CL*S, 16) f32 Baldwin-Weber rows (local)
     isup_cbox: jnp.ndarray   # (NS, SUPER, 8) f32 world child boxes
     isup_sbox: jnp.ndarray   # (NS, 8) f32 world super boxes
     isup_local: jnp.ndarray  # (NS,) i32 local super id (slab index)

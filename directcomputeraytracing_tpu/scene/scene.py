@@ -395,15 +395,19 @@ def flatten_scene(scene: Scene):
         world_tri_opacity = np.ones(1, np.float32)
 
     if 2048 < world_tris.shape[0]:
-        from ..accel.cluster import CLUSTER_SIZE, build_clusters
+        from ..accel.cluster import (
+            CLUSTER_SIZE, baldwin_table, build_clusters,
+        )
 
         cluster_tris, cluster_bbox = build_clusters(world_tris,
                                                     world_tri_meta)
+        cluster_bw = baldwin_table(cluster_tris)
     else:
         from ..accel.cluster import CLUSTER_SIZE
 
         cluster_tris = np.zeros((CLUSTER_SIZE, 13), np.float32)
         cluster_bbox = np.zeros((1, 8), np.float32)
+        cluster_bw = np.zeros((CLUSTER_SIZE, 16), np.float32)
 
     # --- instanced work-list tables: BLAS sharing for scenes too big
     # (or too instanced) for the world-space soup. Triangles stay
@@ -424,16 +428,18 @@ def flatten_scene(scene: Scene):
         axis=1).astype(np.float32)
     if use_instanced:
         from ..accel.cluster import (
-            build_instanced_supers, build_local_clusters,
+            baldwin_table, build_instanced_supers, build_local_clusters,
         )
 
         mesh_counts = [m.indices.shape[0] for m in scene.meshes]
         icl_slab, lbox, mso, msc = build_local_clusters(
             tri_verts, mesh_tri_offsets, mesh_counts)
+        icl_bw = baldwin_table(icl_slab)
         isup_cbox, isup_sbox, isup_local, isup_inst = \
             build_instanced_supers(lbox, mso, msc, inst_mesh, inst_tf)
     else:
         icl_slab = np.zeros((CLUSTER_SIZE, 13), np.float32)
+        icl_bw = np.zeros((CLUSTER_SIZE, 16), np.float32)
         isup_cbox = np.zeros((1, SUPER_SIZE, 8), np.float32)
         isup_sbox = np.zeros((1, 8), np.float32)
         isup_local = np.zeros(1, np.int32)
@@ -454,6 +460,7 @@ def flatten_scene(scene: Scene):
         world_tris=jnp.asarray(world_tris),
         world_tri_meta=jnp.asarray(world_tri_meta),
         cluster_tris=jnp.asarray(cluster_tris),
+        cluster_bw=jnp.asarray(cluster_bw),
         cluster_bbox=jnp.asarray(cluster_bbox),
         vtx_table=jnp.asarray(vtx_table),
         mat_table=jnp.asarray(mat_table),
@@ -483,6 +490,7 @@ def flatten_scene(scene: Scene):
         texture_sizes=jnp.asarray(sizes),
         env_texture=jnp.asarray(env, jnp.float32),
         icl_slab=jnp.asarray(icl_slab),
+        icl_bw=jnp.asarray(icl_bw),
         isup_cbox=jnp.asarray(isup_cbox),
         isup_sbox=jnp.asarray(isup_sbox),
         isup_local=jnp.asarray(isup_local),

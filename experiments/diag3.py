@@ -46,18 +46,18 @@ def main():
     print(f"tris={arrays.world_tris.shape[0]} rays={r} nb={nb} "
           f"RB={wl.RB} SUPER={wl.SUPER} PAIR={wl.PAIR}")
 
-    od, odt, tmr, _ = jax.jit(lambda o, d: wl._prep_rays_wl(o, d))(o, d)
+    od, tm, _ = jax.jit(lambda o, d: wl._prep_rays_wl(o, d))(o, d)
 
     # phase A/B only
-    ph = jax.jit(lambda od, odt: wl._phases(arrays, od, odt, False))
-    out = ph(od, odt)
+    ph = jax.jit(lambda od, tm: wl._phases(arrays, od, tm, False))
+    out = ph(od, tm)
     bf = np.asarray(out[2])
     valid = (bf & 1) == 1
     per_blk = np.bincount((bf[valid] >> wl._BLOCK_SHIFT), minlength=nb)
     print(f"super items={valid.sum()} cap={bf.shape[0]} "
           f"per-block mean={per_blk.mean():.1f} p50={np.median(per_blk):.0f} "
           f"p95={np.percentile(per_blk, 95):.0f} max={per_blk.max()}")
-    t_ph = bench(ph, od, odt)
+    t_ph = bench(ph, od, tm)
     print(f"phases-only: {t_ph*1e3:.2f} ms")
 
     # full closest + counter stats

@@ -64,32 +64,30 @@ def main():
         return jax.jit(run)
 
     def p_prep(o, d):
-        od, odt, tmr, _ = wl._prep_rays_wl(o, d)
-        return od, odt
+        od, tm, _ = wl._prep_rays_wl(o, d)
+        return od, tm
 
     def p_cull(o, d):
-        od, odt = p_prep(o, d)
-        return wl._cull_super(hboxv, odt)
+        od, tm = p_prep(o, d)
+        return wl._cull_super(hboxv, od, tm)
 
     def p_compact(o, d):
-        od, odt = p_prep(o, d)
-        tlo_h = wl._cull_super(hboxv, odt)
+        od, tm = p_prep(o, d)
+        tlo_h = wl._cull_super(hboxv, od, tm)
         return wl._compact_pairs(tlo_h, nh, cap_h)[:4]
 
     def p_refine(o, d):
-        od, odt = p_prep(o, d)
-        tm_row = odt[:, 6][None, :]
-        tlo_h = wl._cull_super(hboxv, odt)
+        od, tm = p_prep(o, d)
+        tlo_h = wl._cull_super(hboxv, od, tm)
         bfh, hyp, _th, total_h, _ = wl._compact_pairs(tlo_h, nh, cap_h)
-        return wl._refine_items(hsup, hs, bfh, hyp, od, tm_row, cap_h,
+        return wl._refine_items(hsup, hs, bfh, hyp, od, tm, cap_h,
                                 False)
 
     def p_expand(o, d):
-        od, odt = p_prep(o, d)
-        tm_row = odt[:, 6][None, :]
-        tlo_h = wl._cull_super(hboxv, odt)
+        od, tm = p_prep(o, d)
+        tlo_h = wl._cull_super(hboxv, od, tm)
         bfh, hyp, _th, total_h, _ = wl._compact_pairs(tlo_h, nh, cap_h)
-        tlo_s = wl._refine_items(hsup, hs, bfh, hyp, od, tm_row, cap_h,
+        tlo_s = wl._refine_items(hsup, hs, bfh, hyp, od, tm, cap_h,
                                  False)
         return wl._expand_level(tlo_s, bfh, hyp, hs, cs, nb, cap_s)
 
@@ -100,8 +98,8 @@ def main():
                                 total_s, cap_s)
 
     def p_phases(o, d):
-        od, odt, tmr, _ = wl._prep_rays_wl(o, d)
-        return wl._phases(arrays, od, odt, False)[2:5]
+        od, tm, _ = wl._prep_rays_wl(o, d)
+        return wl._phases(arrays, od, tm, False)[2:5]
 
     stages = [("prep", p_prep), ("cull", p_cull), ("compact", p_compact),
               ("refine", p_refine), ("expand", p_expand),

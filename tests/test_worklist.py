@@ -98,10 +98,10 @@ def test_super_cull_is_exact(grid_scene):
     mirror."""
     arrays, meta = grid_scene
     o, d = _rays(4 * wl.RB, seed=9)
-    _, odt, _, _ = wl._prep_rays_wl(o, d)
-    _, _, sboxv, cpad, cs, _ = wl._pad_tables(arrays)
-    kern = np.asarray(wl._cull_super(sboxv, odt, interpret=True))
-    mirror = np.asarray(wl._exact_tlo_super(sboxv, odt))
+    od, tm, _ = wl._prep_rays_wl(o, d)
+    _, _, sbox, cpad, cs, _ = wl._pad_tables(arrays)
+    kern = np.asarray(wl._cull_super(sbox, od, tm, interpret=True))
+    mirror = np.asarray(wl._exact_tlo_super(sbox, od, tm))
     np.testing.assert_allclose(kern, mirror, rtol=1e-6, atol=1e-6)
     # sanity: some supers entered, some culled
     assert (kern < wl.BIG).any() and (kern >= wl.BIG).any()
@@ -121,12 +121,14 @@ def test_super_cull_tmax_prunes(grid_scene):
          np.ones(n)], axis=1).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     o, d = jnp.asarray(o), jnp.asarray(d)
-    _, odt_inf, _, _ = wl._prep_rays_wl(o, d)
+    od_inf, tm_inf, _ = wl._prep_rays_wl(o, d)
     cap = 5.0   # well short of the geometry
-    _, odt_cap, _, _ = wl._prep_rays_wl(o, d, t_max=cap)
-    _, _, sboxv, _, _, _ = wl._pad_tables(arrays)
-    full = np.asarray(wl._cull_super(sboxv, odt_inf, interpret=True))
-    capped = np.asarray(wl._cull_super(sboxv, odt_cap, interpret=True))
+    od_cap, tm_cap, _ = wl._prep_rays_wl(o, d, t_max=cap)
+    _, _, sbox, _, _, _ = wl._pad_tables(arrays)
+    full = np.asarray(wl._cull_super(sbox, od_inf, tm_inf,
+                                     interpret=True))
+    capped = np.asarray(wl._cull_super(sbox, od_cap, tm_cap,
+                                       interpret=True))
     # capping can only remove entries (or keep entry distance equal)
     entered = capped < wl.BIG
     np.testing.assert_allclose(capped[entered], full[entered],
@@ -153,11 +155,11 @@ def test_hierarchical_phase_a_matches_dense(monkeypatch):
     o[:, 1] = rng.uniform(0.2, 9.0, r)
     d = rng.normal(size=(r, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
-    od, odt, _, _ = wl._prep_rays_wl(jnp.asarray(o), jnp.asarray(d))
+    od, tm, _ = wl._prep_rays_wl(jnp.asarray(o), jnp.asarray(d))
 
     # force the hierarchy on at this scene scale
     monkeypatch.setattr(wl, "HIER_MIN", 48)
-    _, _, sboxv, _, cs, hyper = wl._pad_tables(arrays)
+    _, _, sbox, _, cs, hyper = wl._pad_tables(arrays)
     assert hyper is not None, "scene too small to exercise the hierarchy"
 
     def items(phases_out):
@@ -168,10 +170,10 @@ def test_hierarchical_phase_a_matches_dense(monkeypatch):
         return set(zip(blk.tolist(), sup[valid].tolist(),
                        t_ent[valid].tolist()))
 
-    hier = wl._phases(arrays, od, odt, interpret=True)
+    hier = wl._phases(arrays, od, tm, interpret=True)
     assert bool(hier[5])  # fits
     monkeypatch.setattr(wl, "HIER_MIN", 10**9)
-    dense = wl._phases(arrays, od, odt, interpret=True)
+    dense = wl._phases(arrays, od, tm, interpret=True)
     assert bool(dense[5])
     assert items(hier) == items(dense)
 
