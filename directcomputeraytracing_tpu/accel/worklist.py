@@ -567,19 +567,24 @@ def _iota_sup():
 
 def _pick_clusters(key_scr, iota):
     """Pop the PAIR nearest remaining clusters from the key scratch:
-    (c_ids, valid_flags, nearest_key). With PAIR=2 one fused (2S, RB)
-    sweep halves the pick/argmin chain and loop fixed costs."""
-    k_1 = jnp.min(key_scr[:, :])
-    c_1 = k_1 & _KEYM
-    if PAIR == 1:
-        key_scr[:, :] = jnp.where(iota == c_1, _INF_KEY, key_scr[:, :])
-        return [c_1], [k_1 < _INF_KEY], k_1
-    k_2 = jnp.min(jnp.where(iota == c_1, _INF_KEY, key_scr[:, :]))
-    c_2 = k_2 & _KEYM
-    v_2 = k_2 < _INF_KEY
-    key_scr[:, :] = jnp.where((iota == c_1) | (iota == c_2),
-                              _INF_KEY, key_scr[:, :])
-    return [c_1, jnp.where(v_2, c_2, 0)], [k_1 < _INF_KEY, v_2], k_1
+    (c_ids, valid_flags, nearest_key). Fusing PAIR clusters into one
+    (PAIR*S, RB) sweep amortizes the pick/argmin chain and loop fixed
+    costs; each extra pick is one masked tiny-vector min."""
+    keys = key_scr[:, :]
+    cs_, vs_ = [], []
+    taken = jnp.zeros_like(iota, dtype=jnp.bool_)
+    k_1 = None
+    for _ in range(PAIR):
+        k = jnp.min(jnp.where(taken, _INF_KEY, keys))
+        if k_1 is None:
+            k_1 = k
+        c = k & _KEYM
+        v = k < _INF_KEY
+        cs_.append(jnp.where(v, c, 0) if len(cs_) else c)
+        vs_.append(v)
+        taken = taken | (iota == c)
+    key_scr[:, :] = jnp.where(taken, _INF_KEY, keys)
+    return cs_, vs_, k_1
 
 
 def _pair_tab(slab_ref, cs_, base=0):
@@ -589,6 +594,22 @@ def _pair_tab(slab_ref, cs_, base=0):
              for c in cs_]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                             axis=0)
+
+
+def _seg_child_ok(rows, cs_, vs_):
+    """Per-row cluster id + validity mask for the fused (PAIR*CS, RB)
+    slab (None mask when PAIR == 1 — a single picked cluster is always
+    valid under the loop guard)."""
+    if PAIR == 1:
+        return cs_[0], None
+    seg = rows // CLUSTER_SIZE
+    child = jnp.zeros_like(rows)
+    okv = jnp.zeros_like(rows, dtype=jnp.bool_)
+    for i, (c, v) in enumerate(zip(cs_, vs_)):
+        m = seg == i
+        child = jnp.where(m, c, child)
+        okv = okv | (m & v)
+    return child, okv
 
 
 def _rows_pair():
@@ -663,12 +684,9 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
                 t, u, v, back, ok = _isect_rows(
                     tab, ox, oy, oz, dx, dy, dz, t_min, t_b,
                     watertight=wt)
-                if PAIR == 2:
-                    ok = ok & ((rows < CLUSTER_SIZE) | vs_[1])
-                    child = jnp.where(rows < CLUSTER_SIZE, cs_[0],
-                                      cs_[1])
-                else:
-                    child = cs_[0]
+                child, okv = _seg_child_ok(rows, cs_, vs_)
+                if okv is not None:
+                    ok = ok & okv
                 # pack (t & ~0x1FF) | (child << 4) | row: the integer
                 # min IS the argmin, the id bits make every candidate
                 # unique, and the winner's EXACT attributes are picked
@@ -762,8 +780,9 @@ def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             _, _, _, _, ok = _isect_rows(
                 tab, ox, oy, oz, dx, dy, dz, t_min, t_max,
                 watertight=wt)
-            if PAIR == 2:
-                ok = ok & ((rows < CLUSTER_SIZE) | vs_[1])
+            _, okv = _seg_child_ok(rows, cs_, vs_)
+            if okv is not None:
+                ok = ok & okv
             occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], jnp.where(
                 jnp.any(ok, axis=0, keepdims=True), 1.0, 0.0))
             all_occ = jnp.min(occ_ref[0:1, :]) > 0.5
@@ -855,12 +874,9 @@ def _wl_closest_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
                 t, u, v, back, ok = _isect_rows(
                     tab, oxl, oyl, ozl, dxl, dyl, dzl, t_min, t_b,
                     watertight=wt)
-                if PAIR == 2:
-                    ok = ok & ((rows2 < CLUSTER_SIZE) | vs_[1])
-                    child = jnp.where(rows2 < CLUSTER_SIZE, cs_[0],
-                                      cs_[1])
-                else:
-                    child = cs_[0]
+                child, okv = _seg_child_ok(rows2, cs_, vs_)
+                if okv is not None:
+                    ok = ok & okv
                 bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
                         | ((child << 4) + rowmod))
                 cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
@@ -940,8 +956,9 @@ def _wl_any_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
             _, _, _, _, ok = _isect_rows(
                 tab, oxl, oyl, ozl, dxl, dyl, dzl, t_min, t_max,
                 watertight=wt)
-            if PAIR == 2:
-                ok = ok & ((rows2 < CLUSTER_SIZE) | vs_[1])
+            _, okv = _seg_child_ok(rows2, cs_, vs_)
+            if okv is not None:
+                ok = ok & okv
             occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], jnp.where(
                 jnp.any(ok, axis=0, keepdims=True), 1.0, 0.0))
             all_occ = jnp.min(occ_ref[0:1, :]) > 0.5

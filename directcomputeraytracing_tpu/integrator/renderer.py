@@ -204,22 +204,29 @@ class Renderer:
     def preview(self, spp=1, scale=4):
         """Fast reduced-resolution render (the reference's quarter-res
         interactive preview, LaunchRendererLoop.cpp:206-237). Returns a
-        (H/scale, W/scale, 3) linear image; does not touch the film."""
-        from .megakernel import render_samples
+        (H/scale, W/scale, 3) linear image; does not touch the film.
+        Repeated calls at the same scale hit the jit cache (the rebuilt
+        RenderConfig is a frozen dataclass — equal values, equal jit
+        key); pixels trace in 8x128 tile order on TPU like the main
+        path (raster-order bundles measured ~10x slower)."""
+        from .megakernel import render_samples, tiled_frame_pixels
 
         pw = max(self.cfg.width // scale, 1)
         ph = max(self.cfg.height // scale, 1)
         cfg = self.cfg.__class__(**{**self.cfg.__dict__,
                                     "width": pw, "height": ph})
-        ys, xs = jnp.meshgrid(jnp.arange(ph, dtype=jnp.uint32),
-                              jnp.arange(pw, dtype=jnp.uint32),
-                              indexing="ij")
-        px, py = xs.ravel(), ys.ravel()
+        if jax.default_backend() == "tpu":
+            px, py, inv = tiled_frame_pixels(cfg)
+        else:
+            px, py = full_frame_pixels(cfg)
+            inv = None
         acc = jnp.zeros((ph * pw, 3), jnp.float32)
         for s in range(spp):
             _, v = render_samples(self.arrays, self.luts, self.camera,
                                   cfg, px, py, jnp.uint32(s))
             acc = acc + v
+        if inv is not None:
+            acc = acc[inv]
         return np.asarray(acc).reshape(ph, pw, 3) / spp
 
     def postprocessed(self):
