@@ -482,8 +482,9 @@ def _alpha_recast(scene, origin, direction, t_min, opacity_u,
     park = jnp.full((R, 3), 2.0 * 1e9, F32)
     inf = jnp.full(R, jnp.inf, F32)
     zero = jnp.zeros(R, F32)
-    tmax_arr = (None if t_max is None
+    tmax_arr = (jnp.full((R,), jnp.inf, F32) if t_max is None
                 else jnp.broadcast_to(jnp.asarray(t_max, F32), (R,)))
+    unbounded = t_max is None
 
     def cond(s):
         k, done = s[0], s[1]
@@ -491,26 +492,26 @@ def _alpha_recast(scene, origin, direction, t_min, opacity_u,
 
     def body(s):
         (k, done, cur_o, t_base, out_t, out_u, out_v, out_tri, out_inst,
-         out_back, occ) = s
+         out_back, occ, src, dirp, opup, tmaxp) = s
         o_eff = jnp.where(done[:, None], park, cur_o)
         # parked rays also point AWAY from the scene (+x from a far +
         # origin) — with their own direction they could still enter
         # cluster boxes at t ~ park distance and waste sweeps
         d_eff = jnp.where(done[:, None],
-                          jnp.asarray([1.0, 0.0, 0.0], F32), direction)
+                          jnp.asarray([1.0, 0.0, 0.0], F32), dirp)
         t, u, v, tri, inst, back = cast_closest(o_eff, d_eff)
         hit = jnp.isfinite(t)
         opac, opaque = effective_opacity(scene, tri, inst, u, v,
                                          alpha_textures)
-        accept = opaque | (opacity_u < opac)
+        accept = opaque | (opup < opac)
         t_tot = t_base + t
-        if tmax_arr is None:
+        if unbounded:
             take = ~done & hit & accept
             ends = ~done & (~hit | accept)
         else:
-            take = ~done & hit & accept & (t_tot < tmax_arr)
+            take = ~done & hit & accept & (t_tot < tmaxp)
             # an accepted hit OR any hit past t_max resolves the ray
-            ends = ~done & (~hit | accept | (t_tot >= tmax_arr))
+            ends = ~done & (~hit | accept | (t_tot >= tmaxp))
         out_t = jnp.where(take, t_tot, out_t)
         out_u = jnp.where(take, u, out_u)
         out_v = jnp.where(take, v, out_v)
@@ -521,16 +522,43 @@ def _alpha_recast(scene, origin, direction, t_min, opacity_u,
         reject = ~done & hit & ~accept
         adv = t * (1.0 + _ALPHA_ADVANCE) + 1e-5
         cur_o = jnp.where(reject[:, None],
-                          cur_o + adv[:, None] * direction, cur_o)
+                          cur_o + adv[:, None] * dirp, cur_o)
         t_base = jnp.where(reject, t_base + adv, t_base)
-        return (k + 1, done | ends, cur_o, t_base, out_t, out_u, out_v,
-                out_tri, out_inst, out_back, occ)
+        done = done | ends
+        # compact unresolved rays to the FRONT for the next pass: the
+        # typical pass-1 survivor set is a few % of the batch scattered
+        # over every ray bundle, and a bundle sweeps for its worst
+        # ray — left in place they keep every block's sweep alive for
+        # the full (deepest-transparency-stack) pass count. The stable
+        # two-way partition (cumsum ranks, no sort) preserves the
+        # caller's coherence order within each side.
+        live = (~done).astype(I32)
+        n_live = jnp.sum(live)
+        pos = jnp.where(~done, jnp.cumsum(live) - 1,
+                        n_live + jnp.cumsum(1 - live) - 1)
+
+        def perm(x):
+            return jnp.zeros_like(x).at[pos].set(x)
+
+        return (k + 1, perm(done), perm(cur_o), perm(t_base),
+                perm(out_t), perm(out_u), perm(out_v), perm(out_tri),
+                perm(out_inst), perm(out_back), perm(occ), perm(src),
+                perm(dirp), perm(opup), perm(tmaxp))
 
     init = (jnp.int32(0), jnp.zeros(R, bool), origin, zero, inf, zero,
             zero, jnp.zeros(R, I32), jnp.zeros(R, I32),
-            jnp.zeros(R, bool), jnp.zeros(R, bool))
+            jnp.zeros(R, bool), jnp.zeros(R, bool),
+            jnp.arange(R, dtype=I32), direction, opacity_u, tmax_arr)
     out = jax.lax.while_loop(cond, body, init)
-    return out[4], out[5], out[6], out[7], out[8], out[9], out[10]
+    # un-permute: one scatter by the carried source map
+    src = out[11]
+
+    def unperm(x):
+        return jnp.zeros_like(x).at[src].set(x)
+
+    return (unperm(out[4]), unperm(out[5]), unperm(out[6]),
+            unperm(out[7]), unperm(out[8]), unperm(out[9]),
+            unperm(out[10]))
 
 
 def _resolve_backend(scene, backend):
@@ -561,13 +589,23 @@ _PALLAS_BACKENDS = ("pallas", "pallas_interpret", "pallas_cluster",
 
 def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                       backend="auto", watertight=False, opacity_u=None,
-                      alpha_textures=False):
+                      alpha_textures=False, rays_rows=None):
     """Closest-hit over the scene. origin/direction: (R, 3) f32.
     watertight selects the PBRT permute+shear triangle test (all
     backends, incl. the Pallas kernels). Alpha testing (opacity_u,
     incl. textured) runs on the Pallas fast path through the
-    `_alpha_recast` loop."""
+    `_alpha_recast` loop. rays_rows=(o_rows, d_rows) each (3, R)
+    (origin/direction then None) feeds the work-list kernels in their
+    native rows layout, skipping the ~7 ms/M-ray (R, 3) relayout;
+    other backends transpose it back."""
     backend = _resolve_backend(scene, backend)
+    wl_rows = None
+    if rays_rows is not None:
+        if (backend.startswith("pallas_wl") and opacity_u is None):
+            wl_rows = rays_rows
+        else:
+            origin = rays_rows[0].T
+            direction = rays_rows[1].T
     if (opacity_u is not None and alpha_textures
             and backend not in _PALLAS_BACKENDS):
         backend = "jax"  # non-Pallas textured alpha: the stack path
@@ -582,8 +620,12 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
             from .pallas_brute import brute_closest_pallas as cast
         iters = None
         if opacity_u is None:
-            out = cast(scene, origin, direction, t_min,
-                       interpret=interp, watertight=watertight)
+            if wl_rows is not None:
+                out = cast(scene, None, None, t_min, interpret=interp,
+                           watertight=watertight, rows=wl_rows)
+            else:
+                out = cast(scene, origin, direction, t_min,
+                           interpret=interp, watertight=watertight)
             if is_wl:   # work-list kernels report swept-cluster counts
                 t, u, v, tri, inst, back, iters = out
             else:
@@ -617,12 +659,20 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
 
 def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                   backend="auto", watertight=False, opacity_u=None,
-                  alpha_textures=False):
+                  alpha_textures=False, rays_rows=None):
     """Occlusion query: True where any hit exists in (t_min, t_max).
     Alpha-tested occlusion on the Pallas path runs the `_alpha_recast`
     closest-hit loop (the opaque any-hit kernels cannot report WHICH
-    surface occluded, which the alpha test needs)."""
+    surface occluded, which the alpha test needs). rays_rows: see
+    intersect_closest."""
     backend = _resolve_backend(scene, backend)
+    wl_rows = None
+    if rays_rows is not None:
+        if (backend.startswith("pallas_wl") and opacity_u is None):
+            wl_rows = rays_rows
+        else:
+            origin = rays_rows[0].T
+            direction = rays_rows[1].T
     if (opacity_u is not None and alpha_textures
             and backend not in _PALLAS_BACKENDS):
         backend = "jax"  # non-Pallas textured alpha: the stack path
@@ -638,6 +688,10 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
             from .pallas_brute import brute_any_pallas as cast_any
             from .pallas_brute import brute_closest_pallas as cast_c
         if opacity_u is None:
+            if wl_rows is not None:
+                return cast_any(scene, None, None, t_max, t_min,
+                                interpret=interp, watertight=watertight,
+                                rows=wl_rows)
             return cast_any(scene, origin, direction, t_max, t_min,
                             interpret=interp, watertight=watertight)
         occ = _alpha_recast(

@@ -150,6 +150,39 @@ def _prep_rays_wl(origin, direction, t_max=None):
     return od, tm[None, :], r
 
 
+def _prep_rays_wl_rows(o_rows, d_rows, t_max=None):
+    """Rows-layout prep fast path: (3, R) origin/direction component
+    rows -> the same (od (9, Rpad), tm (1, Rpad), R) contract as
+    _prep_rays_wl, with no (R, 3) relayout anywhere (pure row concat +
+    lane pad; the (R, 3) -> (9, R) transpose costs ~7 ms/M rays
+    because narrow-minor-dim tables tile at 3/128 lane utilization).
+    Producers that keep rays in component rows (camera.
+    generate_ray_rows) feed the traversal at full bandwidth."""
+    r = o_rows.shape[1]
+    quantum = 8 * RB
+    pad = -(-r // quantum) * quantum - r
+    bad = ~(jnp.all(jnp.isfinite(o_rows), axis=0)
+            & jnp.all(jnp.isfinite(d_rows), axis=0)
+            & (jnp.sum(d_rows * d_rows, axis=0) > 0.0))
+    dfix = jnp.asarray([1.0, 0.0, 0.0], F32)[:, None]
+    o_rows = jnp.where(bad[None, :], _FAR, o_rows)
+    d_rows = jnp.where(bad[None, :], dfix, d_rows)
+    o = jnp.pad(o_rows, ((0, 0), (0, pad)), constant_values=_FAR)
+    d = (jnp.concatenate([d_rows, jnp.tile(dfix, (1, pad))], axis=1)
+         if pad else d_rows)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                          jnp.where(d >= 0, 1e-30, -1e-30), d)
+    od = jnp.concatenate([o, d, inv], axis=0)
+    if t_max is None:
+        tm = jnp.concatenate([jnp.full((r,), BIG, F32),
+                              jnp.zeros((pad,), F32)])
+    else:
+        tm = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(t_max, F32), (r,)),
+             jnp.zeros((pad,), F32)])
+    return od, tm[None, :], r
+
+
 def _prep_od_kernel(o_ref, d_ref, od_ref):
     """(RB, 3) ray blocks -> (9, RB) [o; d; inv] layout rotation done
     where it is cheap: one in-VMEM transpose per block instead of an
@@ -1147,12 +1180,27 @@ def _slice_rays(origin, direction, extra=None):
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "watertight"))
 def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
-                            interpret=False, watertight=False):
+                            interpret=False, watertight=False,
+                            rows=None):
     """Closest-hit via the fused hierarchical sweep. Returns
     (t, u, v, tri, inst, backface, iters) with t = +inf on miss and
     iters = clusters swept for the ray's block (traversal-cost
     counter). Batches over SLICE_RAYS run as sequential lax.map slices
-    (one compiled body)."""
+    (one compiled body). rows=(o_rows, d_rows) each (3, R) is the
+    rows-layout fast path (origin/direction then None): skips the
+    ~7 ms/M-ray (R, 3) relayout."""
+    if rows is not None:
+        if rows[0].shape[1] > SLICE_RAYS:
+            (os_, ds_), r = _slice_rays_rows(rows)
+            outs = jax.lax.map(
+                lambda od: _closest_impl(scene, None, None, t_min,
+                                         interpret, watertight,
+                                         rows=(od[0], od[1])),
+                (os_, ds_))
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape(-1, *x.shape[2:])[:r], outs)
+        return _closest_impl(scene, None, None, t_min, interpret,
+                             watertight, rows=rows)
     if origin.shape[0] > SLICE_RAYS:
         (os_, ds_), r = _slice_rays(origin, direction)
         outs = jax.lax.map(
@@ -1165,9 +1213,31 @@ def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
                          watertight)
 
 
+def _slice_rays_rows(rows, extra=None):
+    """Rows variant of _slice_rays: (3, R) pads on the lane axis and
+    reshapes to (k, 3, SLICE_RAYS) for lax.map."""
+    o_rows, d_rows = rows
+    r = o_rows.shape[1]
+    k = -(-r // SLICE_RAYS)
+    pad = k * SLICE_RAYS - r
+    dfix = jnp.asarray([1.0, 0.0, 0.0], F32)[:, None]
+    o = jnp.pad(o_rows, ((0, 0), (0, pad)), constant_values=_FAR)
+    d = (jnp.concatenate([d_rows, jnp.tile(dfix, (1, pad))], axis=1)
+         if pad else d_rows)
+    out = (jnp.moveaxis(o.reshape(3, k, SLICE_RAYS), 1, 0),
+           jnp.moveaxis(d.reshape(3, k, SLICE_RAYS), 1, 0))
+    if extra is not None:
+        e = jnp.concatenate([extra, jnp.zeros((pad,), F32)], axis=0)
+        out = out + (e.reshape(k, SLICE_RAYS),)
+    return out, r
+
+
 def _closest_impl(scene, origin, direction, t_min, interpret,
-                  watertight=False):
-    od, tm, r = _prep_rays_wl(origin, direction)
+                  watertight=False, rows=None):
+    if rows is not None:
+        od, tm, r = _prep_rays_wl_rows(rows[0], rows[1])
+    else:
+        od, tm, r = _prep_rays_wl(origin, direction)
     rp = od.shape[1]
     tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
         scene, od, tm, interpret)
@@ -1229,13 +1299,18 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
         return _mask_untouched(out, block_any, miss)
 
     def fallback(_):
+        # rows-path callers materialize (R, 3) only inside this branch
+        # (lax.cond branch bodies run only when taken, so the relayout
+        # is paid exclusively on capacity overflow)
+        o_rect = rows[0].T if origin is None else origin
+        d_rect = rows[1].T if direction is None else direction
         if inst_mode:
-            return _stack_fallback_closest(scene, origin, direction,
+            return _stack_fallback_closest(scene, o_rect, d_rect,
                                            t_min, watertight, rp)
         from .pallas_brute import clustered_closest_pallas
 
         t, u, v, tri, inst, back = clustered_closest_pallas(
-            scene, origin, direction, t_min, interpret=interpret,
+            scene, o_rect, d_rect, t_min, interpret=interpret,
             watertight=watertight)
         t = jnp.where(jnp.isinf(t), BIG, t)
         packed = jnp.stack([t, t, u, v, tri.astype(F32),
@@ -1278,10 +1353,25 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "watertight"))
 def worklist_any_pallas(scene, origin, direction, t_max, t_min=0.0,
-                        interpret=False, watertight=False):
+                        interpret=False, watertight=False, rows=None):
     """Occlusion query via the fused hierarchical sweep. The cull is
     t_max-aware per ray: clusters beyond a ray's occlusion range are
-    never entered by it (shadow rays cull past the light)."""
+    never entered by it (shadow rays cull past the light).
+    rows=(o_rows, d_rows) each (3, R) is the rows-layout fast path
+    (origin/direction then None)."""
+    if rows is not None:
+        nr = rows[0].shape[1]
+        if nr > SLICE_RAYS:
+            tmf = jnp.broadcast_to(jnp.asarray(t_max, F32), (nr,))
+            (os_, ds_, tms), r = _slice_rays_rows(rows, tmf)
+            occ = jax.lax.map(
+                lambda odt_: _any_impl(scene, None, None, odt_[2],
+                                       t_min, interpret, watertight,
+                                       rows=(odt_[0], odt_[1])),
+                (os_, ds_, tms))
+            return occ.reshape(-1)[:r]
+        return _any_impl(scene, None, None, t_max, t_min, interpret,
+                         watertight, rows=rows)
     if origin.shape[0] > SLICE_RAYS:
         tmf = jnp.broadcast_to(jnp.asarray(t_max, F32),
                                (origin.shape[0],))
@@ -1296,8 +1386,11 @@ def worklist_any_pallas(scene, origin, direction, t_max, t_min=0.0,
 
 
 def _any_impl(scene, origin, direction, t_max, t_min, interpret,
-              watertight=False):
-    od, tm, r = _prep_rays_wl(origin, direction, t_max=t_max)
+              watertight=False, rows=None):
+    if rows is not None:
+        od, tm, r = _prep_rays_wl_rows(rows[0], rows[1], t_max=t_max)
+    else:
+        od, tm, r = _prep_rays_wl(origin, direction, t_max=t_max)
     rp = od.shape[1]
     tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
         scene, od, tm, interpret)
@@ -1357,10 +1450,13 @@ def _any_impl(scene, origin, direction, t_max, t_min, interpret,
         return _mask_untouched(occ, block_any, 0.0)
 
     def fallback(_):
+        # rows-path callers materialize (R, 3) only inside this branch
+        o_rect = rows[0].T if origin is None else origin
+        d_rect = rows[1].T if direction is None else direction
         if inst_mode:
             from .traverse import _traverse
 
-            s = _traverse(scene, origin, direction, F32(t_min),
+            s = _traverse(scene, o_rect, d_rect, F32(t_min),
                           jnp.broadcast_to(jnp.asarray(t_max, F32),
                                            (r,)),
                           64, any_hit=True, watertight=watertight,
@@ -1369,7 +1465,7 @@ def _any_impl(scene, origin, direction, t_max, t_min, interpret,
                            (0, rp - r))[None, :]
         from .pallas_brute import clustered_any_pallas
 
-        occ = clustered_any_pallas(scene, origin, direction, t_max, t_min,
+        occ = clustered_any_pallas(scene, o_rect, d_rect, t_max, t_min,
                                    interpret=interpret,
                                    watertight=watertight)
         return jnp.pad(jnp.where(occ, 1.0, 0.0), (0, rp - r))[None, :]

@@ -129,8 +129,18 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
             if cfg.any_hit:
                 rng, ou_s = _masked_1d(rng, active)
             with jax.named_scope("shadow_raycast"):
-                occluded = intersect_any(scene, shadow_o, ls.wi,
-                                         ls.distance, cfg.stack_size,
+                # inactive lanes: zero-length far ray (their stale
+                # origins otherwise traverse at full cost; the alpha
+                # recast path has no t_max cap on its closest casts)
+                sh_o = jnp.where(active[:, None], shadow_o,
+                                 jnp.float32(2e9))
+                sh_d = jnp.where(active[:, None], ls.wi,
+                                 jnp.asarray([1.0, 0.0, 0.0],
+                                             jnp.float32))
+                occluded = intersect_any(scene, sh_o, sh_d,
+                                         jnp.where(active, ls.distance,
+                                                   0.0),
+                                         cfg.stack_size,
                                          backend=cfg.traversal_backend,
                                          watertight=cfg.watertight,
                                          opacity_u=ou_s,
@@ -175,9 +185,18 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
                 root_hi = scene.node_bbox_max[0]
                 inv_ext = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)
                 key = ray_sort_key(ext_o, wi_new, root_lo, inv_ext)
+                # dead lanes hold stale finite rays: sort them last AND
+                # park them off-scene, or the bundles they land in
+                # sweep the hierarchy for dead work
+                key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
                 order = jnp.argsort(key)
+                far = jnp.float32(2e9)
+                cast_o = jnp.where(alive[:, None], ext_o, far)
+                cast_d = jnp.where(alive[:, None], wi_new,
+                                   jnp.asarray([1.0, 0.0, 0.0],
+                                               jnp.float32))
                 hit2s = intersect_closest(
-                    scene, ext_o[order], wi_new[order], cfg.stack_size,
+                    scene, cast_o[order], cast_d[order], cfg.stack_size,
                     backend=cfg.traversal_backend,
                     watertight=cfg.watertight,
                     opacity_u=None if ou_e is None else ou_e[order],

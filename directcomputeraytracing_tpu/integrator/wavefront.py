@@ -205,6 +205,13 @@ def _sorted_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
     key = ray_sort_key(ray_o, ray_d, root_lo, inv_ext)
     key = jnp.where(busy, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
+    # idle lanes hold STALE rays (finite, scene-plausible, incoherent):
+    # park them far away pointing off-scene or the blocks they sort
+    # into sweep the whole hierarchy for dead work
+    far = jnp.float32(2e9)
+    ray_o = jnp.where(busy[:, None], ray_o, far)
+    ray_d = jnp.where(busy[:, None], ray_d,
+                      jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
     hit_s = intersect_closest(
         scene, ray_o[order], ray_d[order], cfg.stack_size,
         backend=cfg.traversal_backend, watertight=cfg.watertight,
@@ -230,6 +237,13 @@ def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
     key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
     dist = jnp.where(active, distance, 0.0)
+    # park inactive lanes' stale rays (see _sorted_closest): the
+    # zero-length t_max alone does not protect the alpha path, whose
+    # recast loop runs a closest cast with no t_max cap
+    far = jnp.float32(2e9)
+    shadow_o = jnp.where(active[:, None], shadow_o, far)
+    shadow_d = jnp.where(active[:, None], shadow_d,
+                         jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
     occ_s = intersect_any(
         scene, shadow_o[order], shadow_d[order], dist[order],
         cfg.stack_size, backend=cfg.traversal_backend,

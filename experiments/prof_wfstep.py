@@ -48,12 +48,17 @@ print("any_hit_texture:", cfg.any_hit_texture, " backend:",
 
 t0 = time.perf_counter()
 state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0))
-# warm the pool past the primary wave into a realistic bounce mix
-state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
-                  state, None, 6)
 state = jax.block_until_ready(state)
-print(f"warmup 6 iters: {time.perf_counter()-t0:.1f} s "
-      f"busy={int(state.busy.sum())}", flush=True)
+print(f"init: {time.perf_counter()-t0:.1f} s", flush=True)
+# warm the pool past the primary wave into a realistic bounce mix
+# (ipd=4 matches the prof_1080b compile-cache signature)
+for k in range(2):
+    t0 = time.perf_counter()
+    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+                      state, None, 4)
+    state = jax.block_until_ready(state)
+    print(f"warmup chunk {k}: {time.perf_counter()-t0:.1f} s "
+          f"busy={int(state.busy.sum())}", flush=True)
 
 busy, ray_o, ray_d, ou = state.busy, state.ray_o, state.ray_d, \
     state.opacity_u

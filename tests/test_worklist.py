@@ -299,3 +299,39 @@ def test_watertight_on_pallas_matches_stack(grid_scene):
     ob = intersect_any(arrays, o, d, 3.0, meta.stack_size,
                        backend="pallas_wl_interpret", watertight=True)
     np.testing.assert_array_equal(np.asarray(ob), np.asarray(oa))
+
+
+def test_rows_path_matches_columns(grid_scene):
+    """The rows-layout fast path (rays as (3, R) component rows) must
+    produce bit-identical results to the (R, 3) path — it only skips
+    the relayout, the kernels are the same."""
+    arrays, meta = grid_scene
+    o, d = _rays(512, seed=5)
+    rows = (jnp.asarray(np.asarray(o).T), jnp.asarray(np.asarray(d).T))
+    a = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wl_interpret")
+    b = intersect_closest(arrays, None, None, meta.stack_size,
+                          backend="pallas_wl_interpret",
+                          rays_rows=rows)
+    np.testing.assert_array_equal(np.asarray(b.hit), np.asarray(a.hit))
+    np.testing.assert_array_equal(np.asarray(b.t), np.asarray(a.t))
+    np.testing.assert_array_equal(np.asarray(b.triangle),
+                                  np.asarray(a.triangle))
+    occ_a = intersect_any(arrays, o, d, jnp.float32(3.0),
+                          meta.stack_size,
+                          backend="pallas_wl_interpret")
+    occ_b = intersect_any(arrays, None, None, jnp.float32(3.0),
+                          meta.stack_size,
+                          backend="pallas_wl_interpret", rays_rows=rows)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_a))
+
+
+def test_rows_path_non_wl_backend_transposes(grid_scene):
+    """rays_rows on a non-worklist backend transposes back and agrees."""
+    arrays, meta = grid_scene
+    o, d = _rays(128, seed=7)
+    rows = (jnp.asarray(np.asarray(o).T), jnp.asarray(np.asarray(d).T))
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax")
+    b = intersect_closest(arrays, None, None, meta.stack_size,
+                          backend="jax", rays_rows=rows)
+    np.testing.assert_array_equal(np.asarray(b.t), np.asarray(a.t))
