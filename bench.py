@@ -55,12 +55,18 @@ def traversal_metrics():
     from directcomputeraytracing_tpu.scene.scene import flatten_scene
 
     out = {}
-    for label, n in (("36k", 5), ("212k", 12)):
+    # 1.07M instanced triangles (27x27 spheres) exercises the
+    # BLAS-sharing instanced work-list path past the 2^20 world-soup
+    # budget (VERDICT r2 #3); smaller ray count bounds its runtime
+    for label, n, w in (("36k", 5, 2048), ("212k", 12, 2048),
+                        ("1M", 27, 1024)):
         scene, cam = sphere_grid(n, n)
         arrays, meta = flatten_scene(scene)
+        if label == "1M":
+            assert arrays.isup_inst.shape[0] > 1, "expected instanced"
         # 4M rays amortize the fixed per-dispatch tunnel latency
         # (~30 ms) over four 1M-ray work-list slices in ONE jit call
-        w = h = 2048
+        h = w
         nrays = w * h
         cfg = RenderConfig(width=w, height=h, max_bounce=1,
                            stack_size=meta.stack_size,
@@ -264,17 +270,20 @@ def standin_metrics():
     out["standin_rmse_mk_vs_wf"] = float(
         np.sqrt(np.mean((im - iw) ** 2)))
 
-    # the 1080p wavefront compile alone runs ~10 min cold; only spend
-    # that when the run still has budget (measured 164.9 s/spp
-    # steady-state on one v5e through the tunnel)
-    if time.perf_counter() - _T_START < 12 * 60:
+    # the 1080p wavefront compile alone runs ~5 min cold; only spend
+    # that when the run still has budget. The headline config is
+    # progressive 1024 spp, so the per-spp rate is measured the way
+    # it renders: 8 samples interleaved per pool pass (spp_batch
+    # coherence batching, the reference's own progressive
+    # accumulation loop at LaunchRendererLoop.cpp:206-237)
+    if time.perf_counter() - _T_START < 14 * 60:
         r = Renderer(scene, cam, width=1920, height=1080,
                      max_bounce=4, any_hit=True, integrator="wavefront")
-        r.render(spp=1)  # compile + 1 spp
+        r.render(spp=8)  # compile + 8 spp
         t0 = time.perf_counter()
-        r.render(spp=1)
+        r.render(spp=8)
         out["standin1080p_wavefront_ms_per_spp"] = (
-            (time.perf_counter() - t0) * 1e3)
+            (time.perf_counter() - t0) * 1e3 / 8.0)
     else:
         out["standin1080p_wavefront_ms_per_spp"] = -1.0  # budget skip
     return out

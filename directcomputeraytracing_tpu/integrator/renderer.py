@@ -166,8 +166,32 @@ class Renderer:
                 else min(spp, 8))
         can_fuse = (self._box_fast_path and seed_mode == SEED_SAMPLE_COUNT
                     and self.integrator == "megakernel" and fuse > 1)
+        can_fuse_wf = (self._box_fast_path
+                       and seed_mode == SEED_SAMPLE_COUNT
+                       and self.integrator == "wavefront" and fuse > 1)
         remaining = spp
         while remaining > 0:
+            if can_fuse_wf and remaining >= fuse:
+                from .wavefront import render_samples_wavefront
+
+                # spp_batch interleaves the samples in one pool pass:
+                # same-pixel rays share bundles (the coherence lever)
+                # and the radiance sum is bit-identical to sequential
+                # passes (lane seed = self.spp + sample index)
+                RT = self._px.shape[0] * fuse
+                chunked = 16 if RT > (1 << 17) else None
+                _, total = render_samples_wavefront(
+                    self.arrays, self.luts, self.camera, self.cfg,
+                    self._px, self._py, jnp.uint32(self.spp),
+                    iterations_per_dispatch=chunked, spp_batch=fuse)
+                if self._inv is not None:
+                    total = total[self._inv]
+                v = total.reshape(self.cfg.height, self.cfg.width, 3)
+                self.film = Film(value=self.film.value + v,
+                                 weight=self.film.weight + float(fuse))
+                self.spp += fuse
+                remaining -= fuse
+                continue
             if can_fuse and remaining >= fuse:
                 from .megakernel import (
                     render_samples_accumulated,

@@ -77,9 +77,9 @@ class PoolState(NamedTuple):
 
 def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
                              pixel_y, frame_seed, pool_size=None,
-                             iterations_per_dispatch=None):
-    """Trace one sample per pixel; same contract as
-    megakernel.render_samples, computed through the path pool.
+                             iterations_per_dispatch=None, spp_batch=1):
+    """Trace spp_batch samples per pixel (default 1; same contract as
+    megakernel.render_samples), computed through the path pool.
 
     With iterations_per_dispatch=N the streaming loop runs as a host
     loop of bounded N-iteration device dispatches — the reference's
@@ -87,34 +87,46 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
     Besides frame pacing, bounded dispatches matter operationally: the
     axon TPU tunnel kills single dispatches longer than a few minutes
     (docs/KNOWN_ISSUES.md), which an unbounded 1080p pool drain hits.
-    None = one fused dispatch (fastest when it fits)."""
+    None = one fused dispatch (fastest when it fits).
+
+    spp_batch > 1 interleaves S progressive samples in ONE pool pass
+    (lane seed = frame_seed + sample index, so the radiance sum is
+    bit-identical to S sequential passes). Beyond amortizing sorts and
+    dispatch latency S-fold, this is the TPU coherence lever: cursor
+    slots go pixel-major, so a refilled ray bundle holds S samples of
+    each pixel instead of one — same-origin rays that the coherence
+    sort then groups, keeping bundle frusta tight at every bounce
+    depth (one sample per pixel leaves ~8 rays per Morton cell at
+    1080p, so 1024-ray bundles span ~128 cells and sweep most of the
+    hierarchy). Box-filter accumulation only: per-sample film
+    positions collide in out_pos."""
     if iterations_per_dispatch is None:
         return _render_whole(scene, luts, cam, cfg, pixel_x, pixel_y,
-                             frame_seed, pool_size)
-    R = pixel_x.shape[0]
+                             frame_seed, pool_size, spp_batch)
+    RT = pixel_x.shape[0] * spp_batch
     state = _init_state(scene, luts, cam, cfg, pixel_x, pixel_y,
-                        frame_seed, pool_size)
+                        frame_seed, pool_size, spp_batch)
     while True:
         state = _chunk(scene, luts, cam, cfg, pixel_x, pixel_y,
                        frame_seed, state, pool_size,
-                       int(iterations_per_dispatch))
-        if not (int(state.cursor) < R or bool(jnp.any(state.busy))):
+                       int(iterations_per_dispatch), spp_batch)
+        if not (int(state.cursor) < RT or bool(jnp.any(state.busy))):
             break
     return state.out_pos, state.out_val
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool_size"))
+@partial(jax.jit, static_argnames=("cfg", "pool_size", "spp_batch"))
 def _init_state(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed,
-                pool_size=None):
-    return _make_state(cfg, pixel_x.shape[0], pool_size)
+                pool_size=None, spp_batch=1):
+    return _make_state(cfg, pixel_x.shape[0], pool_size, spp_batch)
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool_size", "max_iters"))
+@partial(jax.jit, static_argnames=("cfg", "pool_size", "max_iters",
+                                   "spp_batch"))
 def _chunk(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, state,
-           pool_size, max_iters):
-    R = pixel_x.shape[0]
+           pool_size, max_iters, spp_batch=1):
     cond, step = _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y,
-                           frame_seed, R)
+                           frame_seed, pixel_x.shape[0], spp_batch)
 
     def cond2(carry):
         s, j = carry
@@ -144,8 +156,8 @@ def _pool_capacity(R, pool_size):
     return min(P, 1 << (R - 1).bit_length())
 
 
-def _make_state(cfg, R, pool_size):
-    P = _pool_capacity(R, pool_size)
+def _make_state(cfg, R, pool_size, spp_batch=1):
+    P = _pool_capacity(R * spp_batch, pool_size)
     rng0 = init_rng(jnp.zeros(P, U32), jnp.zeros(P, U32), jnp.uint32(0))
     return PoolState(
         rng=rng0,
@@ -167,25 +179,25 @@ def _make_state(cfg, R, pool_size):
 
 def render_samples_wavefront_pure(scene, luts, cam, cfg: RenderConfig,
                                   pixel_x, pixel_y, frame_seed,
-                                  pool_size=None):
-    """Un-jitted whole-loop wavefront pass: trace one sample per pixel
-    draining the pool to completion. For embedding in larger programs
-    (e.g. a shard_map distributed step); same contract as
+                                  pool_size=None, spp_batch=1):
+    """Un-jitted whole-loop wavefront pass: trace spp_batch samples per
+    pixel draining the pool to completion. For embedding in larger
+    programs (e.g. a shard_map distributed step); same contract as
     megakernel.render_samples."""
     R = pixel_x.shape[0]
-    state = _make_state(cfg, R, pool_size)
+    state = _make_state(cfg, R, pool_size, spp_batch)
     cond, step = _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y,
-                           frame_seed, R)
+                           frame_seed, R, spp_batch)
     out = jax.lax.while_loop(cond, step, state)
     return out.out_pos, out.out_val
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool_size"))
+@partial(jax.jit, static_argnames=("cfg", "pool_size", "spp_batch"))
 def _render_whole(scene, luts, cam, cfg: RenderConfig, pixel_x,
-                  pixel_y, frame_seed, pool_size=None):
+                  pixel_y, frame_seed, pool_size=None, spp_batch=1):
     return render_samples_wavefront_pure(scene, luts, cam, cfg,
                                          pixel_x, pixel_y, frame_seed,
-                                         pool_size)
+                                         pool_size, spp_batch)
 
 
 def _sorted_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
@@ -255,14 +267,18 @@ def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
     return occ_s[inv]
 
 
-def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R):
+def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
+              spp_batch=1):
     """(cond, step) for the streaming loop — shared by the fused
-    single-dispatch path and the host-chunked driver."""
+    single-dispatch path and the host-chunked driver. The cursor walks
+    R * spp_batch virtual (pixel, sample) items pixel-major (sample s
+    of pixel p at p * spp_batch + s; lane seed = frame_seed + s)."""
     env_idx = U32(cfg.env_light_index if cfg.has_env_light
                   else LIGHT_INDEX_INVALID)
+    RT = R * spp_batch
 
     def cond(s):
-        return (s.cursor < R) | jnp.any(s.busy)
+        return (s.cursor < RT) | jnp.any(s.busy)
 
     def step(s):
         # ---- NEW_PATH: refill idle lanes from the pixel cursor ----------
@@ -270,16 +286,20 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R):
         # WavefrontPathTracing.hlsl:558-602, + NEW_PATH :176-255)
         idle = ~s.busy
         rank = jnp.cumsum(idle.astype(I32)) - 1          # rank among idle
-        navail = jnp.maximum(R - s.cursor, 0)
+        navail = jnp.maximum(RT - s.cursor, 0)
         take = idle & (rank < navail)
         pixel_new = jnp.where(take, s.cursor + rank, s.pixel)
         cursor_new = s.cursor + jnp.minimum(jnp.sum(idle.astype(I32)),
                                             navail)
-        pidx = jnp.clip(pixel_new, 0, R - 1)
+        vidx = jnp.clip(pixel_new, 0, RT - 1)
+        pidx = vidx // spp_batch if spp_batch > 1 else vidx
         px = pixel_x[pidx]
         py = pixel_y[pidx]
 
-        fresh_rng = init_rng(px, py, frame_seed)
+        seed = frame_seed
+        if spp_batch > 1:
+            seed = frame_seed + (vidx % spp_batch).astype(U32)
+        fresh_rng = init_rng(px, py, seed)
         rng = _sel(take, fresh_rng, s.rng)
         rng, pixel_sample = _m2(rng, take)
         res = jnp.asarray([cfg.width, cfg.height], F32)

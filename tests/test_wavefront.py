@@ -144,3 +144,42 @@ def test_megakernel_pixel_chunking_is_identical():
     # XLA may fuse fp chains differently per batch shape; tight allclose
     np.testing.assert_allclose(np.asarray(acc_a), np.asarray(acc_b),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_spp_batch_equals_sequential_sum():
+    """spp_batch=S in one pool pass must reproduce the SUM of S
+    sequential progressive passes bit-for-bit (lane seed = base + s is
+    the megakernel fusion's seed schedule)."""
+    scene, cam = cornell_box(light="area")
+    arrays, meta = flatten_scene(scene)
+    cfg = RenderConfig(width=16, height=16, max_bounce=3,
+                       stack_size=meta.stack_size,
+                       light_count=meta.light_count)
+    px, py = full_frame_pixels(cfg)
+    luts = placeholder_luts()
+    acc = None
+    for s in range(4):
+        _, v = render_samples_wavefront(arrays, luts, cam, cfg, px, py,
+                                        jnp.uint32(10 + s))
+        acc = v if acc is None else acc + v
+    _, batched = render_samples_wavefront(arrays, luts, cam, cfg, px,
+                                          py, jnp.uint32(10),
+                                          spp_batch=4)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(acc),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spp_batch_chunked_matches_fused():
+    scene, cam = cornell_box(light="area")
+    arrays, meta = flatten_scene(scene)
+    cfg = RenderConfig(width=16, height=16, max_bounce=2,
+                       stack_size=meta.stack_size,
+                       light_count=meta.light_count)
+    px, py = full_frame_pixels(cfg)
+    luts = placeholder_luts()
+    _, a = render_samples_wavefront(arrays, luts, cam, cfg, px, py,
+                                    jnp.uint32(5), spp_batch=3)
+    _, b = render_samples_wavefront(arrays, luts, cam, cfg, px, py,
+                                    jnp.uint32(5), spp_batch=3,
+                                    iterations_per_dispatch=4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
