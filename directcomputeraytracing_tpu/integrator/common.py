@@ -220,22 +220,61 @@ def shade_hit(scene, origin, direction, hit):
     )
 
 
-def ray_sort_key(origin, direction, scene_lo, scene_inv_extent):
-    """Coherence sort key for secondary rays: 3-bit direction octant in
-    the high bits, 12-bit Morton cell of the origin below (the classic
-    wavefront ray-binning trick; the reference gets primary-ray coherence
-    from its thread-group layout and has no bounce sorting — this is a
-    TPU addition to keep cull-and-sweep blocks tight)."""
+def ray_sort_key(origin, direction, scene_lo, scene_inv_extent,
+                 scheme="oct_dir6_morton12"):
+    """Coherence sort key for secondary rays (the classic wavefront
+    ray-binning trick; the reference gets primary-ray coherence from
+    its thread-group layout and has no bounce sorting — this is a TPU
+    addition to keep cull-and-sweep bundles tight).
+
+    Schemes (high bits first; hierarchical keys make sorted adjacency
+    spatial adjacency at every scale, so bundles spanning several bins
+    still get small unions):
+      oct_morton12      3-bit octant | 12-bit origin Morton (round-2)
+      oct_dir6_morton12 octant | 6-bit within-octant direction
+                        | origin Morton — measured best: a 1024-ray
+                        bundle's union frustum was dominated by the
+                        90-degree octant cone, which the sub-direction
+                        bits cut ~8x (RB=512 A/B showed bundle WIDTH
+                        was not the limiter)
+      oct_morton12_dir6 origin-major refinement (direction bits last)
+      oct_morton18      finer origin cells, no direction refinement
+    """
     import jax.numpy as _jnp
 
     oct_ = ((direction[:, 0] >= 0).astype(_jnp.uint32)
             | ((direction[:, 1] >= 0).astype(_jnp.uint32) << 1)
             | ((direction[:, 2] >= 0).astype(_jnp.uint32) << 2))
-    q = _jnp.clip((origin - scene_lo) * scene_inv_extent, 0.0, 0.999)
-    cell = (q * 16).astype(_jnp.uint32)          # 4 bits per axis
-    morton = _jnp.zeros_like(oct_)
-    for b in range(4):
-        for ax in range(3):
-            bit = (cell[:, ax] >> b) & 1
-            morton = morton | (bit << (3 * b + ax))
-    return (oct_ << 12) | morton
+
+    def _morton(bits_per_axis):
+        q = _jnp.clip((origin - scene_lo) * scene_inv_extent,
+                      0.0, 0.999)
+        cell = (q * (1 << bits_per_axis)).astype(_jnp.uint32)
+        m = _jnp.zeros_like(oct_)
+        for b in range(bits_per_axis):
+            for ax in range(3):
+                bit = (cell[:, ax] >> b) & 1
+                m = m | (bit << (3 * b + ax))
+        return m
+
+    def _dir6():
+        # within-octant direction bin: 3 bits each of the two shape
+        # parameters u = |dx| / s, v = |dy| / s (s = |dx|+|dy|+|dz|),
+        # an octahedral-style parametrization constant per cone
+        ax_, ay, az = (_jnp.abs(direction[:, 0]),
+                       _jnp.abs(direction[:, 1]),
+                       _jnp.abs(direction[:, 2]))
+        s = _jnp.maximum(ax_ + ay + az, 1e-12)
+        du = _jnp.clip(ax_ / s * 8.0, 0.0, 7.0).astype(_jnp.uint32)
+        dv = _jnp.clip(ay / s * 8.0, 0.0, 7.0).astype(_jnp.uint32)
+        return (du << 3) | dv
+
+    if scheme == "oct_morton12":
+        return (oct_ << 12) | _morton(4)
+    if scheme == "oct_dir6_morton12":
+        return (oct_ << 18) | (_dir6() << 12) | _morton(4)
+    if scheme == "oct_morton12_dir6":
+        return (oct_ << 18) | (_morton(4) << 6) | _dir6()
+    if scheme == "oct_morton18":
+        return (oct_ << 18) | _morton(6)
+    raise ValueError(f"unknown ray sort scheme {scheme!r}")

@@ -261,9 +261,11 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     addr = coordinator_address or os.environ.get("DCRT_COORDINATOR")
     if addr is None:
         return  # single host
+    if num_processes is None:
+        num_processes = int(os.environ.get("DCRT_NUM_PROCESSES", "1"))
+    if process_id is None:   # NOT `or`: process 0 is falsy but explicit
+        process_id = int(os.environ.get("DCRT_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=num_processes
-        or int(os.environ.get("DCRT_NUM_PROCESSES", "1")),
-        process_id=process_id
-        or int(os.environ.get("DCRT_PROCESS_ID", "0")))
+        num_processes=num_processes,
+        process_id=process_id)

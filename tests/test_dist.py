@@ -99,3 +99,37 @@ def test_mesh_shapes():
         width = 16
 
     assert band_rows(_Cfg, mesh) == 5
+
+
+def test_initialize_distributed_routing(monkeypatch):
+    """Arg/env routing of the multi-host bring-up: no-op single host,
+    explicit args win, env-var fallbacks apply (the call itself needs a
+    real coordinator, so jax.distributed.initialize is stubbed)."""
+    import jax
+
+    from directcomputeraytracing_tpu.parallel.dist import (
+        initialize_distributed,
+    )
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda coordinator_address, num_processes, process_id:
+        calls.append((coordinator_address, num_processes, process_id)))
+
+    initialize_distributed()                   # single host: no-op
+    assert calls == []
+
+    initialize_distributed("10.0.0.1:1234", 4, 2)
+    assert calls[-1] == ("10.0.0.1:1234", 4, 2)
+
+    monkeypatch.setenv("DCRT_PROCESS_ID", "7")
+    initialize_distributed("10.0.0.1:1234", 4, 0)
+    assert calls[-1] == ("10.0.0.1:1234", 4, 0)  # explicit 0 wins
+    monkeypatch.delenv("DCRT_PROCESS_ID")
+
+    monkeypatch.setenv("DCRT_COORDINATOR", "10.0.0.9:99")
+    monkeypatch.setenv("DCRT_NUM_PROCESSES", "8")
+    monkeypatch.setenv("DCRT_PROCESS_ID", "3")
+    initialize_distributed()
+    assert calls[-1] == ("10.0.0.9:99", 8, 3)
