@@ -221,23 +221,21 @@ def shade_hit(scene, origin, direction, hit):
 
 
 def ray_sort_key(origin, direction, scene_lo, scene_inv_extent,
-                 scheme="oct_dir6_morton12"):
+                 scheme="oct_morton12"):
     """Coherence sort key for secondary rays (the classic wavefront
     ray-binning trick; the reference gets primary-ray coherence from
     its thread-group layout and has no bounce sorting — this is a TPU
     addition to keep cull-and-sweep bundles tight).
 
-    Schemes (high bits first; hierarchical keys make sorted adjacency
-    spatial adjacency at every scale, so bundles spanning several bins
-    still get small unions):
-      oct_morton12      3-bit octant | 12-bit origin Morton (round-2)
+    Schemes (high bits first). Measured on a warmed 1080p standin pool
+    (experiments/prof_sortkey.py): the round-2 oct_morton12 key stays
+    best — direction-refined variants spread same-origin-cell rays
+    across more bundles and cost +14-43% on the closest cast, i.e.
+    bundle unions are origin-window-dominated, not cone-dominated.
+      oct_morton12      3-bit octant | 12-bit origin Morton (default)
       oct_dir6_morton12 octant | 6-bit within-octant direction
-                        | origin Morton — measured best: a 1024-ray
-                        bundle's union frustum was dominated by the
-                        90-degree octant cone, which the sub-direction
-                        bits cut ~8x (RB=512 A/B showed bundle WIDTH
-                        was not the limiter)
-      oct_morton12_dir6 origin-major refinement (direction bits last)
+                        | origin Morton (+43% — kept for A/B)
+      oct_morton12_dir6 origin-major refinement (+14%)
       oct_morton18      finer origin cells, no direction refinement
     """
     import jax.numpy as _jnp
