@@ -587,6 +587,31 @@ _PALLAS_BACKENDS = ("pallas", "pallas_interpret", "pallas_cluster",
                     "pallas_wl_interpret")
 
 
+def _has_alpha_split(scene, backend):
+    """True when the opaque/masked cluster split applies: the scene
+    carries both subset tables (flatten_scene; an opacity edit resets
+    them) and the backend reads the cluster tables a view can swap
+    (worklist / clustered — the dense brute kernel reads world_tris)."""
+    return (scene.mclu_bbox.shape[0] > 1
+            and scene.oclu_bbox.shape[0] > 1
+            and scene.isup_inst.shape[0] <= 1
+            and (backend.startswith("pallas_wl")
+                 or backend.startswith("pallas_cluster")))
+
+
+def _split_view(scene, masked):
+    """Scene view whose cluster tables are one side of the
+    opaque/masked split (SceneArrays is a NamedTuple: _replace builds
+    a cheap aliased view, no copies)."""
+    if masked:
+        return scene._replace(cluster_tris=scene.mclu_tris,
+                              cluster_bw=scene.mclu_bw,
+                              cluster_bbox=scene.mclu_bbox)
+    return scene._replace(cluster_tris=scene.oclu_tris,
+                          cluster_bw=scene.oclu_bw,
+                          cluster_bbox=scene.oclu_bbox)
+
+
 def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                       backend="auto", watertight=False, opacity_u=None,
                       alpha_textures=False, rays_rows=None):
@@ -630,6 +655,30 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                 t, u, v, tri, inst, back, iters = out
             else:
                 t, u, v, tri, inst, back = out
+        elif _has_alpha_split(scene, backend):
+            # split path: ONE plain cast over the opaque subset, the
+            # recast loop only over the maybe-transparent subset with
+            # the opaque hit as its t ceiling
+            out_o = cast(_split_view(scene, masked=False), origin,
+                         direction, t_min, interpret=interp,
+                         watertight=watertight)
+            t_o, u_o, v_o, tri_o, inst_o, back_o = out_o[:6]
+            if is_wl:
+                iters = out_o[6]
+            t_m, u_m, v_m, tri_m, inst_m, back_m, _ = _alpha_recast(
+                scene, origin, direction, t_min, opacity_u,
+                alpha_textures,
+                lambda o, d: cast(_split_view(scene, masked=True), o,
+                                  d, t_min, interpret=interp,
+                                  watertight=watertight)[:6],
+                t_max=jnp.where(jnp.isfinite(t_o), t_o, jnp.inf))
+            m = jnp.isfinite(t_m) & (t_m < t_o)
+            t = jnp.where(m, t_m, t_o)
+            u = jnp.where(m, u_m, u_o)
+            v = jnp.where(m, v_m, v_o)
+            tri = jnp.where(m, tri_m, tri_o)
+            inst = jnp.where(m, inst_m, inst_o)
+            back = jnp.where(m, back_m, back_o)
         else:
             t, u, v, tri, inst, back, _ = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
@@ -694,6 +743,26 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                                 rows=wl_rows)
             return cast_any(scene, origin, direction, t_max, t_min,
                             interpret=interp, watertight=watertight)
+        if _has_alpha_split(scene, backend):
+            # split path: the cheap any-hit kernel (all-occluded short
+            # circuit, no recasting) answers the opaque subset; only
+            # the maybe-transparent subset pays the recast loop, and
+            # rays the opaque pass already occluded skip it (t_max 0)
+            occ_o = cast_any(_split_view(scene, masked=False), origin,
+                             direction, t_max, t_min, interpret=interp,
+                             watertight=watertight)
+            t_rest = jnp.where(
+                occ_o, 0.0,
+                jnp.broadcast_to(jnp.asarray(t_max, F32),
+                                 (origin.shape[0],)))
+            occ_m = _alpha_recast(
+                scene, origin, direction, t_min, opacity_u,
+                alpha_textures,
+                lambda o, d: cast_c(_split_view(scene, masked=True), o,
+                                    d, t_min, interpret=interp,
+                                    watertight=watertight)[:6],
+                t_max=t_rest)[6]
+            return occ_o | occ_m
         occ = _alpha_recast(
             scene, origin, direction, t_min, opacity_u, alpha_textures,
             lambda o, d: cast_c(scene, o, d, t_min, interpret=interp,

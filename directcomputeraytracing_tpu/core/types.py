@@ -109,6 +109,21 @@ class SceneArrays(NamedTuple):
     # Environment map: equirectangular lat-long radiance (1x1 when unused).
     env_texture: jnp.ndarray       # (EH, EW, 3) f32
 
+    # Opaque/masked cluster split for alpha-tested traversal on the
+    # world-soup fast path: the opaque subset traverses with the plain
+    # kernels (no recast loop) and only the maybe-transparent subset
+    # pays the alpha recast (the reference's AnyHitShader similarly
+    # runs only on non-opaque geometry, BVHAccel.inc.hlsl:182-190 +
+    # instance OPAQUE flags). Sentinels ((S,13)/(S,16)/(1,8)) when the
+    # scene has no alpha, is instanced, or an opacity edit invalidated
+    # the split (scene/edit.py then falls back to the full recast).
+    oclu_tris: jnp.ndarray   # (CO*S, 13) f32
+    oclu_bw: jnp.ndarray     # (CO*S, 16) f32
+    oclu_bbox: jnp.ndarray   # (CO, 8) f32
+    mclu_tris: jnp.ndarray   # (CM*S, 13) f32
+    mclu_bw: jnp.ndarray     # (CM*S, 16) f32
+    mclu_bbox: jnp.ndarray   # (CM, 8) f32
+
     @property
     def num_triangles(self):
         return self.triangles.shape[0]

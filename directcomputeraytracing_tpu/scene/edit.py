@@ -66,9 +66,27 @@ def _recompute_opacity_tables(arrays):
         arrays.instance_flags & ~jnp.uint32(INSTANCE_FLAG_OPAQUE))
     if arrays.world_tris.shape[0] <= 1:   # soup absent: keep placeholder
         world_op = arrays.world_tri_opacity
-    return arrays._replace(tri_opacity=tri_op,
-                           world_tri_opacity=world_op,
-                           instance_flags=flags)
+    arrays = arrays._replace(tri_opacity=tri_op,
+                             world_tri_opacity=world_op,
+                             instance_flags=flags)
+    if arrays.mclu_bbox.shape[0] > 1:
+        # opacity edits can move triangles across the opaque/masked
+        # cluster split (core/types.py) — drop it rather than traverse
+        # a stale partition; casts fall back to the full recast path
+        # (correct, slower). Shapes change, so the next render
+        # recompiles — the reference's shader-recompile-on-edit rule.
+        import numpy as _np
+
+        from ..accel.cluster import CLUSTER_SIZE as _CS
+
+        arrays = arrays._replace(
+            oclu_tris=jnp.asarray(_np.zeros((_CS, 13), _np.float32)),
+            oclu_bw=jnp.asarray(_np.zeros((_CS, 16), _np.float32)),
+            oclu_bbox=jnp.asarray(_np.zeros((1, 8), _np.float32)),
+            mclu_tris=jnp.asarray(_np.zeros((_CS, 13), _np.float32)),
+            mclu_bw=jnp.asarray(_np.zeros((_CS, 16), _np.float32)),
+            mclu_bbox=jnp.asarray(_np.zeros((1, 8), _np.float32)))
+    return arrays
 
 
 @partial(jax.jit, static_argnames=("fields",))

@@ -409,6 +409,37 @@ def flatten_scene(scene: Scene):
         cluster_bbox = np.zeros((1, 8), np.float32)
         cluster_bw = np.zeros((CLUSTER_SIZE, 16), np.float32)
 
+    # --- opaque/masked cluster split for alpha-tested traversal: the
+    # opaque subset runs the plain kernels (no recast loop), only the
+    # maybe-transparent subset pays alpha recasting (the reference's
+    # AnyHitShader runs only on non-opaque geometry,
+    # Shaders/BVHAccel.inc.hlsl:182-190 + per-instance OPAQUE flags)
+    oclu_tris = np.zeros((CLUSTER_SIZE, 13), np.float32)
+    oclu_bw = np.zeros((CLUSTER_SIZE, 16), np.float32)
+    oclu_bbox = np.zeros((1, 8), np.float32)
+    mclu_tris = np.zeros((CLUSTER_SIZE, 13), np.float32)
+    mclu_bw = np.zeros((CLUSTER_SIZE, 16), np.float32)
+    mclu_bbox = np.zeros((1, 8), np.float32)
+    if any_non_opaque and cluster_bbox.shape[0] > 1:
+        from ..accel.cluster import baldwin_table, build_clusters
+
+        prim = world_tri_meta[:, 0].astype(np.int64)
+        iid = world_tri_meta[:, 1].astype(np.int64)
+        ov = np.asarray([inst.material_override
+                         for inst in scene.instances], np.int64)[iid]
+        eff = material_ids[prim].astype(np.int64)
+        eff = np.where((ov >= 0) & (ov < M), ov, eff)
+        opq = (inst_flags[iid] & INSTANCE_FLAG_OPAQUE) != 0
+        maybe = ~opq & ((world_tri_opacity < 1.0)
+                        | (mat_otex[eff] >= 0))
+        if maybe.any() and (~maybe).any():
+            oclu_tris, oclu_bbox = build_clusters(
+                world_tris[~maybe], world_tri_meta[~maybe])
+            oclu_bw = baldwin_table(oclu_tris)
+            mclu_tris, mclu_bbox = build_clusters(
+                world_tris[maybe], world_tri_meta[maybe])
+            mclu_bw = baldwin_table(mclu_tris)
+
     # --- instanced work-list tables: BLAS sharing for scenes too big
     # (or too instanced) for the world-space soup. Triangles stay
     # mesh-local and shared; per-(instance, super) world boxes drive
@@ -486,6 +517,12 @@ def flatten_scene(scene: Scene):
         light_tri_count=jnp.asarray(light_tri_count),
         light_instance=jnp.asarray(light_instance),
         light_flags=jnp.asarray(light_flags),
+        oclu_tris=jnp.asarray(oclu_tris),
+        oclu_bw=jnp.asarray(oclu_bw),
+        oclu_bbox=jnp.asarray(oclu_bbox),
+        mclu_tris=jnp.asarray(mclu_tris),
+        mclu_bw=jnp.asarray(mclu_bw),
+        mclu_bbox=jnp.asarray(mclu_bbox),
         textures=jnp.asarray(atlas),
         texture_sizes=jnp.asarray(sizes),
         env_texture=jnp.asarray(env, jnp.float32),

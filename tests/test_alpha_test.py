@@ -166,3 +166,81 @@ def test_opacity_texture_modulates_alpha_test():
     rate = float(np.asarray(occ).mean())
     # half the panel is transparent -> ~50% occlusion
     assert abs(rate - 0.5) < 0.06, rate
+
+
+@pytest.fixture(scope="module")
+def split_scene():
+    """>2048 world tris with a semi-transparent material on half the
+    spheres: flatten builds the opaque/masked cluster split."""
+    from directcomputeraytracing_tpu.scene.presets import sphere_grid
+
+    scene, cam = sphere_grid(3, 3, stacks=12, slices=16)
+    scene.materials[1] = Material(albedo=(0.8, 0.3, 0.3), opacity=0.4,
+                                  name="seethrough")
+    arrays, meta = flatten_scene(scene)
+    assert meta.any_non_opaque
+    assert arrays.mclu_bbox.shape[0] > 1      # split built
+    assert arrays.oclu_bbox.shape[0] > 1
+    return arrays, meta
+
+
+def _alpha_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 4.0, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_split_closest_matches_stack_walker(split_scene):
+    """Opaque/masked split closest-hit == the stack walker's in-line
+    alpha test (same pre-drawn opacity samples)."""
+    arrays, meta = split_scene
+    o, d = _alpha_rays(512)
+    u = jnp.asarray(
+        np.random.default_rng(7).random(512, dtype=np.float32))
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax",
+                          opacity_u=u, alpha_textures=False)
+    b = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wl_interpret", opacity_u=u,
+                          alpha_textures=True)
+    m = np.asarray(a.hit)
+    agree = np.asarray(b.hit) == m
+    assert agree.mean() > 0.99          # grazing-advance epsilon only
+    both = m & np.asarray(b.hit)
+    np.testing.assert_allclose(np.asarray(b.t)[both],
+                               np.asarray(a.t)[both], rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_split_any_matches_stack_walker(split_scene):
+    arrays, meta = split_scene
+    o, d = _alpha_rays(512, seed=3)
+    u = jnp.asarray(
+        np.random.default_rng(9).random(512, dtype=np.float32))
+    a = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="jax", opacity_u=u, alpha_textures=False)
+    b = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="pallas_wl_interpret", opacity_u=u,
+                      alpha_textures=True)
+    assert (np.asarray(a) == np.asarray(b)).mean() > 0.99
+
+
+def test_opacity_edit_drops_split(split_scene):
+    """An opacity edit must invalidate the split partition (falls back
+    to the full recast path) and still render correct occlusion."""
+    from directcomputeraytracing_tpu.scene.edit import update_material
+
+    arrays, meta = split_scene
+    edited = update_material(arrays, 1, opacity=0.9)
+    assert edited.mclu_bbox.shape[0] == 1     # split dropped
+    o, d = _alpha_rays(256, seed=5)
+    u = jnp.asarray(
+        np.random.default_rng(11).random(256, dtype=np.float32))
+    a = intersect_any(edited, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="jax", opacity_u=u, alpha_textures=False)
+    b = intersect_any(edited, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="pallas_wl_interpret", opacity_u=u,
+                      alpha_textures=True)
+    assert (np.asarray(a) == np.asarray(b)).mean() > 0.99
