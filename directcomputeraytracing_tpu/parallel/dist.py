@@ -96,7 +96,8 @@ def _filter_halo_rows(fp: FilterParams):
 
 
 def distributed_render_step(mesh, cfg, integrator="megakernel",
-                            filter_params=None, tile_order=True):
+                            filter_params=None, tile_order=True,
+                            spp_batch=1):
     """Build the jitted distributed progressive step for a static config.
 
     Returned fn: (scene, luts, cam, pixel_x, pixel_y, base_seed,
@@ -106,6 +107,12 @@ def distributed_render_step(mesh, cfg, integrator="megakernel",
     rows * width; film is flat (R, 3) value + (R,) weight in the same
     order. Each "spp" replica traces with seed = base_seed + spp_index;
     per-replica film contributions psum over "spp".
+
+    spp_batch (wavefront + box filter only) additionally interleaves S
+    samples per pixel inside each replica's pool pass (the single-chip
+    coherence batching, integrator/wavefront.py) — one step then
+    accumulates n_spp * spp_batch samples, seeds
+    base_seed + spp_index * spp_batch + s.
     """
     fp = filter_params or FilterParams(kind=cfg.filter_type,
                                        radius=cfg.filter_radius)
@@ -116,6 +123,10 @@ def distributed_render_step(mesh, cfg, integrator="megakernel",
     hr = min(_filter_halo_rows(fp), hb)
     perm, inv = (_band_tile_perm(hb, w) if tile_order
                  else (None, None))
+    if spp_batch > 1 and (integrator != "wavefront" or hr != 0):
+        raise ValueError("spp_batch needs the wavefront integrator "
+                         "and a box filter (per-sample film positions "
+                         "collide)")
 
     def render(scene, luts, cam, px, py, seed):
         if integrator == "wavefront":
@@ -124,12 +135,13 @@ def distributed_render_step(mesh, cfg, integrator="megakernel",
             )
 
             return render_samples_wavefront_pure(
-                scene, luts, cam, cfg, px, py, seed)
+                scene, luts, cam, cfg, px, py, seed,
+                spp_batch=spp_batch)
         return render_samples(scene, luts, cam, cfg, px, py, seed)
 
     def step(scene, luts, cam, px, py, valid, base_seed, film_v,
              film_w):
-        s = jax.lax.axis_index("spp").astype(U32)
+        s = jax.lax.axis_index("spp").astype(U32) * U32(spp_batch)
         pxb, pyb, vb = px[0], py[0], valid[0]
         if tile_order:
             pos_t, val_t = render(scene, luts, cam, pxb[perm], pyb[perm],
@@ -143,7 +155,7 @@ def distributed_render_step(mesh, cfg, integrator="megakernel",
             # box fast path: every sample lands in its own pixel
             values = jnp.where(vb[:, None], values, 0.0)
             v = jax.lax.psum(values, "spp")
-            return film_v + v[None], film_w + F32(n_spp)
+            return film_v + v[None], film_w + F32(n_spp * spp_batch)
 
         # filtered path: convolve the band with a ppermute halo of the
         # neighbor bands' boundary sample rows (reference gathers
@@ -201,15 +213,17 @@ class DistributedRenderer:
 
     def __init__(self, mesh, arrays, luts, cam, cfg,
                  integrator="megakernel", filter_params=None,
-                 tile_order=True):
+                 tile_order=True, spp_batch=1):
         self.mesh = mesh
         self.arrays = arrays
         self.luts = luts
         self.cam = cam
         self.cfg = cfg
+        self.spp_batch = spp_batch
         self._step = distributed_render_step(
             mesh, cfg, integrator=integrator,
-            filter_params=filter_params, tile_order=tile_order)
+            filter_params=filter_params, tile_order=tile_order,
+            spp_batch=spp_batch)
 
         t = mesh.shape["tile"]
         hb = band_rows(cfg, mesh)
@@ -232,12 +246,13 @@ class DistributedRenderer:
         self.spp = 0
 
     def render_step(self, base_seed=None):
-        """One progressive step = mesh.shape['spp'] samples per pixel."""
+        """One progressive step = mesh.shape['spp'] * spp_batch samples
+        per pixel."""
         seed = U32(self.spp if base_seed is None else base_seed)
         self.film_v, self.film_w = self._step(
             self.arrays, self.luts, self.cam, self.px, self.py,
             self.valid, seed, self.film_v, self.film_w)
-        self.spp += self.mesh.shape["spp"]
+        self.spp += self.mesh.shape["spp"] * self.spp_batch
 
     def image(self):
         v = np.asarray(self.film_v)[: self.n_rays]

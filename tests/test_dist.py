@@ -133,3 +133,21 @@ def test_initialize_distributed_routing(monkeypatch):
     monkeypatch.setenv("DCRT_PROCESS_ID", "3")
     initialize_distributed()
     assert calls[-1] == ("10.0.0.9:99", 8, 3)
+
+
+def test_distributed_wavefront_spp_batch_matches_single(setup):
+    """spp-sharded + spp_batch: an (spp=2, tile=4) mesh step with
+    spp_batch=2 must equal 4 sequential single-device samples (replica
+    r, sample s uses seed r * spp_batch + s)."""
+    scene, cam = setup
+    r = Renderer(scene, cam, width=16, height=16, max_bounce=2,
+                 integrator="wavefront")
+    mesh = make_mesh(n_devices=8, spp_parallel=2)
+    dr = DistributedRenderer(mesh, r.arrays, r.luts, r.camera, r.cfg,
+                             integrator="wavefront", spp_batch=2)
+    dr.render_step()
+    assert dr.spp == 4
+    for s in range(4):
+        r.render_sample(s)
+    np.testing.assert_allclose(dr.image(), r.image(), rtol=2e-5,
+                               atol=2e-6)
