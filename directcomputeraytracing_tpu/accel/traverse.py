@@ -614,7 +614,7 @@ def _split_view(scene, masked):
 
 def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                       backend="auto", watertight=False, opacity_u=None,
-                      alpha_textures=False, rays_rows=None):
+                      alpha_textures=False, rays_rows=None, t_cap=None):
     """Closest-hit over the scene. origin/direction: (R, 3) f32.
     watertight selects the PBRT permute+shear triangle test (all
     backends, incl. the Pallas kernels). Alpha testing (opacity_u,
@@ -622,7 +622,13 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
     `_alpha_recast` loop. rays_rows=(o_rows, d_rows) each (3, R)
     (origin/direction then None) feeds the work-list kernels in their
     native rows layout, skipping the ~7 ms/M-ray (R, 3) relayout;
-    other backends transpose it back."""
+    other backends transpose it back.
+
+    t_cap (traced scalar, work-list backends only — others ignore it
+    and search the full window): restrict the search to t < ~t_cap;
+    a reported miss guarantees no acceptable hit strictly below t_cap,
+    a reported hit may lie within one truncation quantum above it.
+    See worklist_closest_pallas — slab-marching support."""
     backend = _resolve_backend(scene, backend)
     wl_rows = None
     if rays_rows is not None:
@@ -644,13 +650,17 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
         else:
             from .pallas_brute import brute_closest_pallas as cast
         iters = None
+        capkw = {}
+        if t_cap is not None and is_wl:
+            capkw = {"t_cap": t_cap}
         if opacity_u is None:
             if wl_rows is not None:
                 out = cast(scene, None, None, t_min, interpret=interp,
-                           watertight=watertight, rows=wl_rows)
+                           watertight=watertight, rows=wl_rows, **capkw)
             else:
                 out = cast(scene, origin, direction, t_min,
-                           interpret=interp, watertight=watertight)
+                           interpret=interp, watertight=watertight,
+                           **capkw)
             if is_wl:   # work-list kernels report swept-cluster counts
                 t, u, v, tri, inst, back, iters = out
             else:
@@ -658,20 +668,26 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
         elif _has_alpha_split(scene, backend):
             # split path: ONE plain cast over the opaque subset, the
             # recast loop only over the maybe-transparent subset with
-            # the opaque hit as its t ceiling
+            # the opaque hit as its t ceiling (further capped at t_cap;
+            # the recast loop's INNER casts stay uncapped — they run
+            # from advanced origins, where the absolute cap no longer
+            # translates, and its t_max window already stops them)
             out_o = cast(_split_view(scene, masked=False), origin,
                          direction, t_min, interpret=interp,
-                         watertight=watertight)
+                         watertight=watertight, **capkw)
             t_o, u_o, v_o, tri_o, inst_o, back_o = out_o[:6]
             if is_wl:
                 iters = out_o[6]
+            ceil = jnp.where(jnp.isfinite(t_o), t_o, jnp.inf)
+            if t_cap is not None:
+                ceil = jnp.minimum(ceil, jnp.asarray(t_cap, F32))
             t_m, u_m, v_m, tri_m, inst_m, back_m, _ = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
                 lambda o, d: cast(_split_view(scene, masked=True), o,
                                   d, t_min, interpret=interp,
                                   watertight=watertight)[:6],
-                t_max=jnp.where(jnp.isfinite(t_o), t_o, jnp.inf))
+                t_max=ceil)
             m = jnp.isfinite(t_m) & (t_m < t_o)
             t = jnp.where(m, t_m, t_o)
             u = jnp.where(m, u_m, u_o)
@@ -684,7 +700,10 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
                 lambda o, d: cast(scene, o, d, t_min, interpret=interp,
-                                  watertight=watertight)[:6])
+                                  watertight=watertight)[:6],
+                t_max=(None if t_cap is None
+                       else jnp.broadcast_to(jnp.asarray(t_cap, F32),
+                                             origin.shape[:1])))
         return HitInfo(t=t, u=u, v=v, triangle=tri, instance=inst,
                        backface=back, hit=jnp.isfinite(t),
                        iterations=(jnp.zeros_like(tri) if iters is None
@@ -704,6 +723,67 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
         triangle=s.hit_tri, instance=s.hit_inst, backface=s.hit_back,
         hit=jnp.isfinite(s.hit_t), iterations=s.iters,
     )
+
+
+def intersect_closest_slab(scene, origin, direction, stack_size, t_cap,
+                           backend="auto", watertight=False,
+                           opacity_u=None, alpha_textures=False,
+                           live=None, phases=2, grow=5.0):
+    """Distance-slab closest hit in `phases` geometric windows: phase 1
+    capped at t_cap (tightening the per-ray enter prune and the
+    bundle-max early break to <= t_cap — per-ray front-to-back order
+    that bundle-min item order cannot provide on incoherent pools),
+    then each later phase stable-compacts the still-unresolved rays —
+    no accepted hit strictly below the previous cap — to the front
+    (cumsum partition preserves the caller's coherence order within
+    each side) and re-casts with a grow-x wider window; the last phase
+    is unbounded. Opaque later phases also FLOOR the window at the
+    previous cap (kernel t_min + the fine-enter `t_hi >= t_min` prune
+    skip the near field — exact, the earlier phases were exhaustive
+    below it); alpha-tested casts stay unfloored because the recast
+    loop's inner casts run from advanced origins where an absolute
+    floor no longer translates. Exact vs a single full cast up to
+    packed-argmin quantum ties at the window boundaries. live masks
+    lanes whose phase-1 result is final regardless."""
+    hit = intersect_closest(
+        scene, origin, direction, stack_size, backend=backend,
+        watertight=watertight, opacity_u=opacity_u,
+        alpha_textures=alpha_textures, t_cap=t_cap)
+    need = ~hit.hit | (hit.t >= t_cap)
+    if live is not None:
+        need = need & live
+    itr = hit.iterations
+    floor_prev = t_cap
+    far = jnp.float32(2e9)
+    for k in range(1, int(phases)):
+        last = k == int(phases) - 1
+        cap_k = None if last else t_cap * (grow ** k)
+        liv = need.astype(I32)
+        n_need = jnp.sum(liv)
+        pos = jnp.where(need, jnp.cumsum(liv) - 1,
+                        n_need + jnp.cumsum(1 - liv) - 1)
+
+        def perm(x, pos=pos):
+            return jnp.zeros_like(x).at[pos].set(x)
+
+        o2 = perm(jnp.where(need[:, None], origin, far))
+        d2 = perm(jnp.where(need[:, None], direction,
+                            jnp.asarray([1.0, 0.0, 0.0], F32)))
+        floor_k = 0.0 if opacity_u is not None else floor_prev
+        hit_k = intersect_closest(
+            scene, o2, d2, stack_size, t_min=floor_k, backend=backend,
+            watertight=watertight,
+            opacity_u=None if opacity_u is None else perm(opacity_u),
+            alpha_textures=alpha_textures, t_cap=cap_k)
+        # back to caller order (new[pos[i]] = old[i] -> gather by pos)
+        hit_k = jax.tree_util.tree_map(lambda x: x[pos], hit_k)
+        itr = itr + jnp.where(need, hit_k.iterations, 0)
+        hit = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(need, b, a), hit, hit_k)
+        if not last:
+            need = need & (~hit_k.hit | (hit_k.t >= cap_k))
+            floor_prev = cap_k
+    return hit._replace(iterations=itr)
 
 
 def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,

@@ -551,12 +551,16 @@ def _isect_rows(tab, ox, oy, oz, dx, dy, dz, t_min, t_max,
     return t, u, v, den < 1e-10, ok
 
 
-def _fine_enter(cbox_ref, od_ref, cap_row):
+def _fine_enter(cbox_ref, od_ref, cap_row, floor=None):
     """Exact per-ray slab test of the item's SUPER child boxes against
     the bundle, pruned per ray by cap_row (current best t / t_max /
     occlusion state — the per-ray front-to-back pruning the reference
-    gets from its t_max test, BVHAccel.inc.hlsl:119). Returns
-    ((SUPER, RB) enter mask, (SUPER, RB) clamped entry distances)."""
+    gets from its t_max test, BVHAccel.inc.hlsl:119). floor (the SMEM
+    t_min scalar) additionally drops boxes the ray exits before the
+    window opens — the same `t1 >= t_min` the stack walker's ray_aabb
+    applies, and what makes a floored phase-2 slab-march cast skip the
+    near field. Returns ((SUPER, RB) enter mask, (SUPER, RB) clamped
+    entry distances)."""
     rb = od_ref.shape[1]
     t_lo = jnp.full((SUPER, rb), -BIG, F32)
     t_hi = jnp.full((SUPER, rb), BIG, F32)
@@ -570,6 +574,8 @@ def _fine_enter(cbox_ref, od_ref, cap_row):
         t_lo = jnp.maximum(t_lo, jnp.minimum(a, b))
         t_hi = jnp.minimum(t_hi, jnp.maximum(a, b))
     enter = (t_hi >= t_lo) & (t_hi >= 0.0) & (t_lo < cap_row)
+    if floor is not None:
+        enter = enter & (t_hi >= floor)
     return enter, jnp.maximum(t_lo, 0.0)
 
 
@@ -688,7 +694,8 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
                 out_ref[j:j + 1, :] = jnp.zeros((1, rb), F32)
             term_scr[0] = BIG
 
-        enter, t_lo = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :])
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :],
+                                     floor=t_min)
         iota = _iota_sup()
         keys, n = _cluster_keys(enter, t_lo, iota)
         # Mosaic legalizes while loops with scalar carries only: the
@@ -795,7 +802,8 @@ def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
 
         # occluded rays stop entering anything (per-ray prune)
         cap_row = jnp.where(occ_ref[0:1, :] > 0.5, -BIG, t_max)
-        enter, t_lo = _fine_enter(cbox_ref, od_ref, cap_row)
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, cap_row,
+                                     floor=t_min)
         iota = _iota_sup()
         keys, n = _cluster_keys(enter, t_lo, iota)
         mask_scr[:, :] = keys
@@ -878,7 +886,8 @@ def _wl_closest_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
                 out_ref[j:j + 1, :] = jnp.zeros((1, rb), F32)
             term_scr[0] = BIG
 
-        enter, t_lo = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :])
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :],
+                                     floor=t_min)
         iota = _iota_sup()
         keys, n = _cluster_keys(enter, t_lo, iota)
         mask_scr[:, :] = keys
@@ -971,7 +980,8 @@ def _wl_any_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
             term_scr[0] = F32(0.0)
 
         cap_row = jnp.where(occ_ref[0:1, :] > 0.5, -BIG, t_max)
-        enter, t_lo = _fine_enter(cbox_ref, od_ref, cap_row)
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, cap_row,
+                                     floor=t_min)
         iota = _iota_sup()
         keys, n = _cluster_keys(enter, t_lo, iota)
         mask_scr[:, :] = keys
@@ -1181,36 +1191,48 @@ def _slice_rays(origin, direction, extra=None):
                    static_argnames=("interpret", "watertight"))
 def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
                             interpret=False, watertight=False,
-                            rows=None):
+                            rows=None, t_cap=None):
     """Closest-hit via the fused hierarchical sweep. Returns
     (t, u, v, tri, inst, backface, iters) with t = +inf on miss and
     iters = clusters swept for the ray's block (traversal-cost
     counter). Batches over SLICE_RAYS run as sequential lax.map slices
     (one compiled body). rows=(o_rows, d_rows) each (3, R) is the
     rows-layout fast path (origin/direction then None): skips the
-    ~7 ms/M-ray (R, 3) relayout."""
+    ~7 ms/M-ray (R, 3) relayout.
+
+    t_cap (traced scalar) caps the search window: only hits with
+    t < ~t_cap are reported (hits within one argmin-truncation quantum
+    above t_cap may still be reported; anything decoding as a miss is
+    guaranteed to have no hit strictly below t_cap). Capping tightens
+    BOTH prunes — the per-ray fine-enter cull and the bundle-max early
+    break start at min(scene_exit, t_cap) instead of the scene exit —
+    which is the slab-marching lever for incoherent pools: a capped
+    pass answers most rays cheaply, the compacted remainder re-casts
+    with the full window (integrator/wavefront._sorted_closest)."""
     if rows is not None:
         if rows[0].shape[1] > SLICE_RAYS:
             (os_, ds_), r = _slice_rays_rows(rows)
             outs = jax.lax.map(
                 lambda od: _closest_impl(scene, None, None, t_min,
                                          interpret, watertight,
-                                         rows=(od[0], od[1])),
+                                         rows=(od[0], od[1]),
+                                         t_cap=t_cap),
                 (os_, ds_))
             return jax.tree_util.tree_map(
                 lambda x: x.reshape(-1, *x.shape[2:])[:r], outs)
         return _closest_impl(scene, None, None, t_min, interpret,
-                             watertight, rows=rows)
+                             watertight, rows=rows, t_cap=t_cap)
     if origin.shape[0] > SLICE_RAYS:
         (os_, ds_), r = _slice_rays(origin, direction)
         outs = jax.lax.map(
             lambda od: _closest_impl(scene, od[0], od[1], t_min,
-                                     interpret, watertight),
+                                     interpret, watertight,
+                                     t_cap=t_cap),
             (os_, ds_))
         return jax.tree_util.tree_map(
             lambda x: x.reshape(-1, *x.shape[2:])[:r], outs)
     return _closest_impl(scene, origin, direction, t_min, interpret,
-                         watertight)
+                         watertight, t_cap=t_cap)
 
 
 def _slice_rays_rows(rows, extra=None):
@@ -1233,16 +1255,24 @@ def _slice_rays_rows(rows, extra=None):
 
 
 def _closest_impl(scene, origin, direction, t_min, interpret,
-                  watertight=False, rows=None):
+                  watertight=False, rows=None, t_cap=None):
     if rows is not None:
         od, tm, r = _prep_rays_wl_rows(rows[0], rows[1])
     else:
         od, tm, r = _prep_rays_wl(origin, direction)
     rp = od.shape[1]
+    texp = _scene_exit(scene, od)
+    if t_cap is not None:
+        # cap the search window: the init sentinel AND the cull t
+        # ceiling shrink to ~t_cap (padded past the argmin truncation
+        # quantum like _scene_exit, so a true hit just below the cap
+        # still truncates strictly under the miss sentinel)
+        capp = jnp.asarray(t_cap, F32) * 1.001 + 1e-3
+        texp = jnp.minimum(texp, capp)
+        tm = jnp.minimum(tm, capp)
     tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
         scene, od, tm, interpret)
     ctab = tabs[0] if watertight else tabs[1]
-    texp = _scene_exit(scene, od)
     tmin_arr = jnp.full((1, 1), t_min, F32)
     inst_mode = _instanced(scene)
 

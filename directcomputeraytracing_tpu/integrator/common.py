@@ -54,10 +54,37 @@ class RenderConfig:
     sort_bounce_rays: bool = False      # re-order secondary rays for
                                         # block coherence (cluster kernel)
     watertight: bool = False            # PBRT watertight triangle test
+    slab_march: float = 0.0             # distance-slab casting: phase 1
+                                        # capped at this fraction of the
+                                        # scene diagonal, later phases
+                                        # re-cast the compacted
+                                        # remainder (0 = off)
+    slab_phases: int = 2                # slab phase count (geometric
+                                        # 5x windows, last unbounded)
 
     @property
     def has_env_light(self):
         return self.env_light_index >= 0
+
+
+def slab_enabled(scene, cfg):
+    """Distance-slab marching engages only on the work-list backend —
+    t_cap is advisory elsewhere, so two phases would just duplicate
+    the cast."""
+    if cfg.slab_march <= 0.0:
+        return False
+    from ..accel.traverse import _resolve_backend
+
+    return _resolve_backend(scene, cfg.traversal_backend).startswith(
+        "pallas_wl")
+
+
+def slab_depth(scene, cfg):
+    """Phase-1 cap: cfg.slab_march fraction of the scene diagonal."""
+    root_lo = scene.node_bbox_min[0]
+    root_hi = scene.node_bbox_max[0]
+    diag = jnp.sqrt(jnp.sum((root_hi - root_lo) ** 2))
+    return jnp.float32(cfg.slab_march) * diag
 
 
 def offset_ray_origin(p, n, d):

@@ -27,7 +27,13 @@ from ..lights.lights import (
 )
 from ..rng.xoshiro import init_rng, next_sample_1d, next_sample_2d, next_sample_3d
 from ..sampling.montecarlo import power_heuristic
-from .common import RenderConfig, offset_ray_origin, shade_hit
+from .common import (
+    RenderConfig,
+    offset_ray_origin,
+    shade_hit,
+    slab_depth,
+    slab_enabled,
+)
 
 F32 = jnp.float32
 U32 = jnp.uint32
@@ -80,10 +86,21 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
     if cfg.any_hit:
         rng, ou = next_sample_1d(rng)
     with jax.named_scope("primary_raycast"):
-        hit = intersect_closest(scene, origin, wi, cfg.stack_size,
-                                backend=cfg.traversal_backend,
-                                watertight=cfg.watertight, opacity_u=ou,
-                                alpha_textures=cfg.any_hit_texture)
+        if slab_enabled(scene, cfg):
+            from ..accel.traverse import intersect_closest_slab
+
+            hit = intersect_closest_slab(
+                scene, origin, wi, cfg.stack_size,
+                slab_depth(scene, cfg), backend=cfg.traversal_backend,
+                watertight=cfg.watertight, opacity_u=ou,
+                alpha_textures=cfg.any_hit_texture,
+                phases=cfg.slab_phases)
+        else:
+            hit = intersect_closest(scene, origin, wi, cfg.stack_size,
+                                    backend=cfg.traversal_backend,
+                                    watertight=cfg.watertight,
+                                    opacity_u=ou,
+                                    alpha_textures=cfg.any_hit_texture)
     with jax.named_scope("shade_hit"):
         itx = shade_hit(scene, origin, wi, hit)
     itx = itx._replace(position=_sel(hit.hit, itx.position, origin))
@@ -195,12 +212,24 @@ def render_samples(scene, luts, cam, cfg: RenderConfig, pixel_x, pixel_y,
                 cast_d = jnp.where(alive[:, None], wi_new,
                                    jnp.asarray([1.0, 0.0, 0.0],
                                                jnp.float32))
-                hit2s = intersect_closest(
-                    scene, cast_o[order], cast_d[order], cfg.stack_size,
-                    backend=cfg.traversal_backend,
-                    watertight=cfg.watertight,
-                    opacity_u=None if ou_e is None else ou_e[order],
-                    alpha_textures=cfg.any_hit_texture)
+                if slab_enabled(scene, cfg):
+                    from ..accel.traverse import intersect_closest_slab
+
+                    hit2s = intersect_closest_slab(
+                        scene, cast_o[order], cast_d[order],
+                        cfg.stack_size, slab_depth(scene, cfg),
+                        backend=cfg.traversal_backend,
+                        watertight=cfg.watertight,
+                        opacity_u=None if ou_e is None else ou_e[order],
+                        alpha_textures=cfg.any_hit_texture,
+                        live=alive[order], phases=cfg.slab_phases)
+                else:
+                    hit2s = intersect_closest(
+                        scene, cast_o[order], cast_d[order],
+                        cfg.stack_size, backend=cfg.traversal_backend,
+                        watertight=cfg.watertight,
+                        opacity_u=None if ou_e is None else ou_e[order],
+                        alpha_textures=cfg.any_hit_texture)
                 inv_order = jnp.argsort(order)
                 hit2 = jax.tree.map(lambda a: a[inv_order], hit2s)
             else:

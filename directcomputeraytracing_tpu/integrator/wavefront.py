@@ -40,7 +40,13 @@ from ..lights.lights import (
 from ..rng.xoshiro import init_rng, next_sample_1d, next_sample_2d, \
     next_sample_3d
 from ..sampling.montecarlo import power_heuristic
-from .common import RenderConfig, offset_ray_origin, shade_hit
+from .common import (
+    RenderConfig,
+    offset_ray_origin,
+    shade_hit,
+    slab_depth as _slab_depth,
+    slab_enabled as _slab_enabled,
+)
 from .megakernel import _mesh_light_camera_eval
 
 F32 = jnp.float32
@@ -200,6 +206,16 @@ def _render_whole(scene, luts, cam, cfg: RenderConfig, pixel_x,
                                          pool_size, spp_batch)
 
 
+def _park(mask, o, d):
+    """Replace masked-out lanes' rays with a far off-scene ray (finite
+    stale rays left in place form garbage bundles that sweep the whole
+    hierarchy)."""
+    far = jnp.float32(2e9)
+    return (jnp.where(mask[:, None], o, far),
+            jnp.where(mask[:, None], d,
+                      jnp.asarray([1.0, 0.0, 0.0], jnp.float32)))
+
+
 def _sorted_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
     """Closest-hit cast with the pool re-ordered into coherent bundles
     (octant + origin-Morton key, idle lanes parked last). The
@@ -208,7 +224,19 @@ def _sorted_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
     558-602); on the TPU the work-list traversal wants tile-compact
     1024-ray bundles, which a bounced pool in lane order is not —
     sorting before the cast is what makes large-frame wavefront
-    viable."""
+    viable.
+
+    With cfg.slab_march = f > 0 the cast runs as two distance slabs:
+    phase 1 capped at D = f * scene_diag (the cap shrinks every ray's
+    enter prune and the bundle-max early break to <= D — the dense
+    sweep otherwise pays for per-ray front-to-back order that
+    bundle-min item order cannot provide on incoherent pools), then
+    the unresolved rays (no accepted hit below D) are stable-compacted
+    to the front — fresh, denser bundles — and re-cast with the full
+    window. Exact: phase 1's merge keeps only hits with t < D
+    strictly, and the alpha accept decision depends only on
+    (opacity_u, triangle), so splitting the march at D cannot change
+    any layer decision."""
     from .common import ray_sort_key
 
     root_lo = scene.node_bbox_min[0]
@@ -217,21 +245,26 @@ def _sorted_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
     key = ray_sort_key(ray_o, ray_d, root_lo, inv_ext)
     key = jnp.where(busy, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
-    # idle lanes hold STALE rays (finite, scene-plausible, incoherent):
-    # park them far away pointing off-scene or the blocks they sort
-    # into sweep the whole hierarchy for dead work
-    far = jnp.float32(2e9)
-    ray_o = jnp.where(busy[:, None], ray_o, far)
-    ray_d = jnp.where(busy[:, None], ray_d,
-                      jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
-    hit_s = intersect_closest(
-        scene, ray_o[order], ray_d[order], cfg.stack_size,
-        backend=cfg.traversal_backend, watertight=cfg.watertight,
-        opacity_u=None if opacity_u is None else opacity_u[order],
-        alpha_textures=cfg.any_hit_texture)
+    ray_o, ray_d = _park(busy, ray_o, ray_d)
+    o_s, d_s = ray_o[order], ray_d[order]
+    ou_s = None if opacity_u is None else opacity_u[order]
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype))
-    return jax.tree_util.tree_map(lambda x: x[inv], hit_s)
+    if not _slab_enabled(scene, cfg):
+        hit_s = intersect_closest(
+            scene, o_s, d_s, cfg.stack_size,
+            backend=cfg.traversal_backend, watertight=cfg.watertight,
+            opacity_u=ou_s, alpha_textures=cfg.any_hit_texture)
+        return jax.tree_util.tree_map(lambda x: x[inv], hit_s)
+
+    from ..accel.traverse import intersect_closest_slab
+
+    merged = intersect_closest_slab(
+        scene, o_s, d_s, cfg.stack_size, _slab_depth(scene, cfg),
+        backend=cfg.traversal_backend, watertight=cfg.watertight,
+        opacity_u=ou_s, alpha_textures=cfg.any_hit_texture,
+        live=busy[order], phases=cfg.slab_phases)
+    return jax.tree_util.tree_map(lambda x: x[inv], merged)
 
 
 def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
@@ -239,7 +272,14 @@ def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
     """Any-hit cast with the same coherence sort (shadow origins sit at
     the bounced hit points, so they are exactly as incoherent as the
     extension rays). Inactive lanes park last and cast a zero-length
-    ray."""
+    ray.
+
+    cfg.slab_march > 0 runs the occlusion query in two distance slabs
+    (no kernel change needed — the any cast's t_max is already the
+    per-ray window): phase 1 over (0, min(dist, D)), then the
+    still-unoccluded rays with dist > D compact to the front and
+    re-run the full window. Exact: phase 1's verdict is exhaustive for
+    its window, so occluded = occ1 | occ2 on the remainder."""
     from .common import ray_sort_key
 
     root_lo = scene.node_bbox_min[0]
@@ -252,18 +292,46 @@ def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
     # park inactive lanes' stale rays (see _sorted_closest): the
     # zero-length t_max alone does not protect the alpha path, whose
     # recast loop runs a closest cast with no t_max cap
-    far = jnp.float32(2e9)
-    shadow_o = jnp.where(active[:, None], shadow_o, far)
-    shadow_d = jnp.where(active[:, None], shadow_d,
-                         jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
-    occ_s = intersect_any(
-        scene, shadow_o[order], shadow_d[order], dist[order],
-        cfg.stack_size, backend=cfg.traversal_backend,
-        watertight=cfg.watertight,
-        opacity_u=None if opacity_u is None else opacity_u[order],
-        alpha_textures=cfg.any_hit_texture)
+    shadow_o, shadow_d = _park(active, shadow_o, shadow_d)
+    o_s, d_s = shadow_o[order], shadow_d[order]
+    dist_s = dist[order]
+    ou_s = None if opacity_u is None else opacity_u[order]
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype))
+    if not _slab_enabled(scene, cfg):
+        occ_s = intersect_any(
+            scene, o_s, d_s, dist_s, cfg.stack_size,
+            backend=cfg.traversal_backend, watertight=cfg.watertight,
+            opacity_u=ou_s, alpha_textures=cfg.any_hit_texture)
+        return occ_s[inv]
+
+    D = _slab_depth(scene, cfg)
+    occ1 = intersect_any(
+        scene, o_s, d_s, jnp.minimum(dist_s, D), cfg.stack_size,
+        backend=cfg.traversal_backend, watertight=cfg.watertight,
+        opacity_u=ou_s, alpha_textures=cfg.any_hit_texture)
+    need = active[order] & ~occ1 & (dist_s > D)
+    liv = need.astype(I32)
+    n_need = jnp.sum(liv)
+    pos = jnp.where(need, jnp.cumsum(liv) - 1,
+                    n_need + jnp.cumsum(1 - liv) - 1)
+
+    def perm(x):
+        return jnp.zeros_like(x).at[pos].set(x)
+
+    o2, d2 = _park(need, o_s, d_s)
+    # opaque phase 2 floors the window at D (kernel t_min + fine-enter
+    # prune skip the near field; phase 1 was exhaustive below D).
+    # Alpha casts stay unfloored — the recast loop's inner casts run
+    # from advanced origins where an absolute floor is wrong.
+    floor2 = 0.0 if ou_s is not None else D
+    occ2 = intersect_any(
+        scene, perm(o2), perm(d2), perm(jnp.where(need, dist_s, 0.0)),
+        cfg.stack_size, t_min=floor2, backend=cfg.traversal_backend,
+        watertight=cfg.watertight,
+        opacity_u=None if ou_s is None else perm(ou_s),
+        alpha_textures=cfg.any_hit_texture)
+    occ_s = occ1 | (need & occ2[pos])
     return occ_s[inv]
 
 

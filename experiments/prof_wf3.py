@@ -16,6 +16,7 @@ S = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 ipd = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 pool = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 pool = pool if pool else None
+slab = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 
 with tempfile.TemporaryDirectory() as d:
     xml = write_standin_scene(d)
@@ -23,7 +24,7 @@ with tempfile.TemporaryDirectory() as d:
 cam = settings.camera
 
 r = Renderer(scene, cam, width=1920, height=1080, max_bounce=4,
-             any_hit=True, integrator="wavefront")
+             any_hit=True, integrator="wavefront", slab_march=slab)
 px, py = r._px, r._py
 R = px.shape[0]
 RT = R * S
@@ -31,7 +32,8 @@ cfg = r.cfg
 
 state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py,
                        jnp.uint32(0), pool, S)
-print(f"S={S} ipd={ipd} pool={state.busy.shape[0]} RT={RT}", flush=True)
+print(f"S={S} ipd={ipd} pool={state.busy.shape[0]} RT={RT} "
+      f"slab={slab}", flush=True)
 it, t_all, t0c = 0, time.perf_counter(), None
 while True:
     t0 = time.perf_counter()

@@ -244,3 +244,36 @@ def test_opacity_edit_drops_split(split_scene):
                       backend="pallas_wl_interpret", opacity_u=u,
                       alpha_textures=True)
     assert (np.asarray(a) == np.asarray(b)).mean() > 0.99
+
+
+def test_split_t_cap_window_contract(split_scene):
+    """t_cap through the opaque/masked split path (slab marching):
+    capped hits strictly below the cap match the full alpha-tested
+    cast; capped misses guarantee no accepted hit strictly below it."""
+    arrays, meta = split_scene
+    o, d = _alpha_rays(256, seed=11)
+    u = jnp.asarray(
+        np.random.default_rng(13).random(256, dtype=np.float32))
+    full = intersect_closest(arrays, o, d, meta.stack_size,
+                             backend="pallas_wl_interpret",
+                             opacity_u=u, alpha_textures=True)
+    t_full = np.asarray(full.t)
+    hit_f = np.asarray(full.hit)
+    D = float(np.median(t_full[hit_f]))
+    cap = intersect_closest(arrays, o, d, meta.stack_size,
+                            backend="pallas_wl_interpret", opacity_u=u,
+                            alpha_textures=True, t_cap=jnp.float32(D))
+    hit_c = np.asarray(cap.hit)
+    t_c = np.asarray(cap.t)
+    resolved = hit_c & (t_c < D)
+    assert resolved.sum() > 30
+    np.testing.assert_allclose(t_c[resolved], t_full[resolved],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cap.triangle)[resolved],
+                                  np.asarray(full.triangle)[resolved])
+    miss_c = ~hit_c
+    assert not (hit_f[miss_c] & (t_full[miss_c] < D * (1 - 2e-4))).any()
+    margin = D * (1.0 - 2.0 ** -12)
+    low = hit_f & (t_full < margin)
+    assert low.sum() > 20
+    assert hit_c[low].all()

@@ -50,3 +50,36 @@ def test_area_light_render():
     assert img.max() > 0.05
     # ceiling region (top rows) should include the bright lamp
     assert img[:10].max() > img.mean()
+
+
+@pytest.mark.slow
+def test_megakernel_slab_march_matches_single_cast():
+    """cfg.slab_march on the megakernel (primary + sorted extension
+    casts through intersect_closest_slab) reproduces the single-cast
+    image."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from directcomputeraytracing_tpu.integrator.common import RenderConfig
+    from directcomputeraytracing_tpu.integrator.megakernel import (
+        full_frame_pixels, render_samples,
+    )
+    from directcomputeraytracing_tpu.lut.textures import placeholder_luts
+    from directcomputeraytracing_tpu.scene.presets import sphere_grid
+    from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+    scene, cam = sphere_grid(3, 3, stacks=12, slices=16)
+    arrays, meta = flatten_scene(scene)
+    kw = dict(width=16, height=16, max_bounce=2,
+              stack_size=meta.stack_size, light_count=meta.light_count,
+              traversal_backend="pallas_wl_interpret",
+              sort_bounce_rays=True)
+    px, py = full_frame_pixels(RenderConfig(**kw))
+    luts = placeholder_luts()
+    _, val_a = render_samples(arrays, luts, cam, RenderConfig(**kw),
+                              px, py, jnp.uint32(3))
+    _, val_b = render_samples(arrays, luts, cam,
+                              RenderConfig(slab_march=0.22, **kw),
+                              px, py, jnp.uint32(3))
+    np.testing.assert_allclose(np.asarray(val_b), np.asarray(val_a),
+                               rtol=1e-5, atol=1e-6)

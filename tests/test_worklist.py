@@ -335,3 +335,92 @@ def test_rows_path_non_wl_backend_transposes(grid_scene):
     b = intersect_closest(arrays, None, None, meta.stack_size,
                           backend="jax", rays_rows=rows)
     np.testing.assert_array_equal(np.asarray(b.t), np.asarray(a.t))
+
+
+def test_t_cap_slab_window_contract(grid_scene):
+    """t_cap window contract (slab marching, worklist_closest_pallas):
+    a capped hit strictly below the cap is the true closest; a capped
+    miss guarantees no acceptable hit strictly below the cap; and any
+    true hit below the cap minus one truncation quantum MUST resolve
+    in the capped pass (the phase-2 routing in
+    wavefront._sorted_closest relies on all three)."""
+    arrays, meta = grid_scene
+    o, d = _rays(256, seed=9)
+    full = intersect_closest(arrays, o, d, meta.stack_size,
+                             backend="pallas_wl_interpret")
+    t_full = np.asarray(full.t)
+    hit_f = np.asarray(full.hit)
+    D = float(np.median(t_full[hit_f]))
+    cap = intersect_closest(arrays, o, d, meta.stack_size,
+                            backend="pallas_wl_interpret",
+                            t_cap=jnp.float32(D))
+    hit_c = np.asarray(cap.hit)
+    t_c = np.asarray(cap.t)
+    resolved = hit_c & (t_c < D)
+    assert resolved.sum() > 30
+    np.testing.assert_allclose(t_c[resolved], t_full[resolved],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cap.triangle)[resolved],
+                                  np.asarray(full.triangle)[resolved])
+    # capped miss => the full cast found nothing strictly below D
+    miss_c = ~hit_c
+    assert not (hit_f[miss_c] & (t_full[miss_c] < D)).any()
+    # true hits below D (minus the packed-argmin quantum) all resolve
+    margin = D * (1.0 - 2.0 ** -12)
+    low = hit_f & (t_full < margin)
+    assert low.sum() > 20
+    assert hit_c[low].all()
+    np.testing.assert_array_equal(np.asarray(cap.triangle)[low],
+                                  np.asarray(full.triangle)[low])
+
+
+def test_slab_helper_exact_vs_single_cast(grid_scene):
+    """intersect_closest_slab (capped phase 1 + floored opaque phase 2
+    on the compacted remainder) must reproduce the single full cast
+    exactly for every ray — hit mask, t, and triangle."""
+    from directcomputeraytracing_tpu.accel.traverse import (
+        intersect_closest_slab,
+    )
+
+    arrays, meta = grid_scene
+    o, d = _rays(512, seed=21)
+    full = intersect_closest(arrays, o, d, meta.stack_size,
+                             backend="pallas_wl_interpret")
+    t_full = np.asarray(full.t)
+    D = float(np.percentile(t_full[np.asarray(full.hit)], 40))
+    slab = intersect_closest_slab(arrays, o, d, meta.stack_size,
+                                  jnp.float32(D),
+                                  backend="pallas_wl_interpret")
+    np.testing.assert_array_equal(np.asarray(slab.hit),
+                                  np.asarray(full.hit))
+    m = np.asarray(full.hit)
+    np.testing.assert_allclose(np.asarray(slab.t)[m], t_full[m],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(slab.triangle)[m],
+                                  np.asarray(full.triangle)[m])
+
+
+def test_slab_helper_three_phases_exact(grid_scene):
+    """phases=3 (geometric windows + floored opaque middle phase) stays
+    exact vs the single full cast."""
+    from directcomputeraytracing_tpu.accel.traverse import (
+        intersect_closest_slab,
+    )
+
+    arrays, meta = grid_scene
+    o, d = _rays(512, seed=23)
+    full = intersect_closest(arrays, o, d, meta.stack_size,
+                             backend="pallas_wl_interpret")
+    t_full = np.asarray(full.t)
+    D = float(np.percentile(t_full[np.asarray(full.hit)], 25))
+    slab = intersect_closest_slab(arrays, o, d, meta.stack_size,
+                                  jnp.float32(D),
+                                  backend="pallas_wl_interpret",
+                                  phases=3, grow=4.0)
+    np.testing.assert_array_equal(np.asarray(slab.hit),
+                                  np.asarray(full.hit))
+    m = np.asarray(full.hit)
+    np.testing.assert_allclose(np.asarray(slab.t)[m], t_full[m],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(slab.triangle)[m],
+                                  np.asarray(full.triangle)[m])
