@@ -462,7 +462,7 @@ _ALPHA_MAX_PASSES = 64   # recast-loop bound (deepest transparent stack)
 _ALPHA_ADVANCE = 4e-4    # relative origin advance past a rejected hit
 
 
-def _alpha_recast(scene, origin, direction, t_min, opacity_u,
+def _alpha_recast(scene, origin, direction, first_floor, opacity_u,
                   alpha_textures, cast_closest, t_max=None):
     """Alpha-tested query via iterative re-casting around an opaque
     closest-hit kernel: cast, evaluate the candidate's opacity in XLA
@@ -475,9 +475,16 @@ def _alpha_recast(scene, origin, direction, t_min, opacity_u,
     (BVHAccel.inc.hlsl:182-190) maps to the TPU fast path: the texture
     gather moves OUT of the kernel, the traversal stays dense.
 
+    cast_closest(o, d, tmn) receives the per-pass kernel floor tmn:
+    first_floor on pass 0 (which runs from the ORIGINAL origins — the
+    window floor of a slab-march phase applies there and skips the
+    re-proven near field), 0 on later passes (advanced origins, where
+    an absolute floor no longer translates; the march itself is already
+    beyond the floor).
+
     Returns (t, u, v, tri, inst, back, occluded) with t accumulated
     across passes. When t_max is given, occluded = accepted hit within
-    (t_min, t_max) (shadow-ray semantics)."""
+    (first_floor, t_max) (shadow-ray semantics)."""
     R = origin.shape[0]
     park = jnp.full((R, 3), 2.0 * 1e9, F32)
     inf = jnp.full(R, jnp.inf, F32)
@@ -499,7 +506,9 @@ def _alpha_recast(scene, origin, direction, t_min, opacity_u,
         # cluster boxes at t ~ park distance and waste sweeps
         d_eff = jnp.where(done[:, None],
                           jnp.asarray([1.0, 0.0, 0.0], F32), dirp)
-        t, u, v, tri, inst, back = cast_closest(o_eff, d_eff)
+        tmn = jnp.where(k == 0, jnp.asarray(first_floor, F32),
+                        jnp.float32(0.0))
+        t, u, v, tri, inst, back = cast_closest(o_eff, d_eff, tmn)
         hit = jnp.isfinite(t)
         opac, opaque = effective_opacity(scene, tri, inst, u, v,
                                          alpha_textures)
@@ -684,9 +693,9 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
             t_m, u_m, v_m, tri_m, inst_m, back_m, _ = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
-                lambda o, d: cast(_split_view(scene, masked=True), o,
-                                  d, t_min, interpret=interp,
-                                  watertight=watertight)[:6],
+                lambda o, d, tmn: cast(_split_view(scene, masked=True),
+                                       o, d, tmn, interpret=interp,
+                                       watertight=watertight)[:6],
                 t_max=ceil)
             m = jnp.isfinite(t_m) & (t_m < t_o)
             t = jnp.where(m, t_m, t_o)
@@ -699,8 +708,9 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
             t, u, v, tri, inst, back, _ = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
-                lambda o, d: cast(scene, o, d, t_min, interpret=interp,
-                                  watertight=watertight)[:6],
+                lambda o, d, tmn: cast(scene, o, d, tmn,
+                                       interpret=interp,
+                                       watertight=watertight)[:6],
                 t_max=(None if t_cap is None
                        else jnp.broadcast_to(jnp.asarray(t_cap, F32),
                                              origin.shape[:1])))
@@ -769,7 +779,9 @@ def intersect_closest_slab(scene, origin, direction, stack_size, t_cap,
         o2 = perm(jnp.where(need[:, None], origin, far))
         d2 = perm(jnp.where(need[:, None], direction,
                             jnp.asarray([1.0, 0.0, 0.0], F32)))
-        floor_k = 0.0 if opacity_u is not None else floor_prev
+        # alpha casts floor only the recast loop's FIRST pass (original
+        # origins) — see _alpha_recast — so the floor is exact there too
+        floor_k = floor_prev
         hit_k = intersect_closest(
             scene, o2, d2, stack_size, t_min=floor_k, backend=backend,
             watertight=watertight,
@@ -838,15 +850,17 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
             occ_m = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
-                lambda o, d: cast_c(_split_view(scene, masked=True), o,
-                                    d, t_min, interpret=interp,
-                                    watertight=watertight)[:6],
+                lambda o, d, tmn: cast_c(_split_view(scene,
+                                                     masked=True),
+                                         o, d, tmn, interpret=interp,
+                                         watertight=watertight)[:6],
                 t_max=t_rest)[6]
             return occ_o | occ_m
         occ = _alpha_recast(
             scene, origin, direction, t_min, opacity_u, alpha_textures,
-            lambda o, d: cast_c(scene, o, d, t_min, interpret=interp,
-                                watertight=watertight)[:6],
+            lambda o, d, tmn: cast_c(scene, o, d, tmn,
+                                     interpret=interp,
+                                     watertight=watertight)[:6],
             t_max=t_max)[6]
         return occ
     if backend == "brute":

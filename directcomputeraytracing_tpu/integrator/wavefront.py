@@ -320,11 +320,10 @@ def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
         return jnp.zeros_like(x).at[pos].set(x)
 
     o2, d2 = _park(need, o_s, d_s)
-    # opaque phase 2 floors the window at D (kernel t_min + fine-enter
-    # prune skip the near field; phase 1 was exhaustive below D).
-    # Alpha casts stay unfloored — the recast loop's inner casts run
-    # from advanced origins where an absolute floor is wrong.
-    floor2 = 0.0 if ou_s is not None else D
+    # phase 2 floors the window at D (kernel t_min + fine-enter prune
+    # skip the near field; phase 1 was exhaustive below D; alpha casts
+    # floor the recast loop's first pass only — see _alpha_recast)
+    floor2 = D
     occ2 = intersect_any(
         scene, perm(o2), perm(d2), perm(jnp.where(need, dist_s, 0.0)),
         cfg.stack_size, t_min=floor2, backend=cfg.traversal_backend,
