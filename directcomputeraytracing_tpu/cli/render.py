@@ -55,6 +55,12 @@ def build_parser():
                    help="attach an IBL environment light from a lat-long "
                         "radiance map (npy/npz/png/dds)")
     p.add_argument("--env-scale", type=float, default=1.0)
+    p.add_argument("--slab-march", type=float, default=None,
+                   metavar="F",
+                   help="distance-slab cast marching: phase-1 window "
+                        "= F * scene diagonal, later phases re-cast "
+                        "the compacted remainder (work-list backend)")
+    p.add_argument("--slab-phases", type=int, default=None)
     p.add_argument("--aov", default=None,
                    choices=["normal", "tangent", "albedo",
                             "negative_ndotv", "backface",
@@ -191,10 +197,15 @@ def main(argv=None):
                     auto_exposure=args.manual_ev100 is None,
                     manual_ev100=15.0 if args.manual_ev100 is None
                     else args.manual_ev100)
+    cfg_kw = {}
+    if args.slab_march is not None:
+        cfg_kw["slab_march"] = args.slab_march
+    if args.slab_phases is not None:
+        cfg_kw["slab_phases"] = args.slab_phases
     r = Renderer(scene, cam, width=width, height=height,
                  max_bounce=max_bounce, luts=luts,
                  integrator=args.integrator, filter_params=fp,
-                 post_params=pp)
+                 post_params=pp, **cfg_kw)
 
     if args.output_bvh:
         from ..accel.build import serialize_bvh_to_xml

@@ -17,6 +17,7 @@ ipd = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 pool = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 pool = pool if pool else None
 slab = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+max_chunks = int(sys.argv[5]) if len(sys.argv) > 5 else 0   # 0 = drain
 
 with tempfile.TemporaryDirectory() as d:
     xml = write_standin_scene(d)
@@ -34,7 +35,7 @@ state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py,
                        jnp.uint32(0), pool, S)
 print(f"S={S} ipd={ipd} pool={state.busy.shape[0]} RT={RT} "
       f"slab={slab}", flush=True)
-it, t_all, t0c = 0, time.perf_counter(), None
+it, t_all, t0c, nch = 0, time.perf_counter(), None, 0
 while True:
     t0 = time.perf_counter()
     state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
@@ -44,12 +45,13 @@ while True:
     if t0c is None:
         t0c = dt
     it += ipd
+    nch += 1
     cur, bs = int(state.cursor), int(state.busy.sum())
     print(f"it{it:4d}: {dt:6.1f} s/chunk cursor={cur}/{RT} busy={bs}",
           flush=True)
     if not (cur < RT or bs):
         break
-    if it > 1400:
+    if it > 1400 or (max_chunks and nch >= max_chunks):
         print("BAIL")
         break
 tot = time.perf_counter() - t_all
