@@ -740,9 +740,10 @@ def intersect_closest_slab(scene, origin, direction, stack_size, t_cap,
                            opacity_u=None, alpha_textures=False,
                            live=None, phases=2, grow=5.0):
     """Distance-slab closest hit in `phases` geometric windows: phase 1
-    capped at t_cap (tightening the per-ray enter prune and the
-    bundle-max early break to <= t_cap — per-ray front-to-back order
-    that bundle-min item order cannot provide on incoherent pools),
+    capped at scene_entry + t_cap per ray (tightening the per-ray
+    enter prune and the bundle-max early break — per-ray front-to-back
+    order that bundle-min item order cannot provide on incoherent
+    pools),
     then each later phase stable-compacts the still-unresolved rays —
     no accepted hit strictly below the previous cap — to the front
     (cumsum partition preserves the caller's coherence order within
@@ -755,19 +756,38 @@ def intersect_closest_slab(scene, origin, direction, stack_size, t_cap,
     floor no longer translates. Exact vs a single full cast up to
     packed-argmin quantum ties at the window boundaries. live masks
     lanes whose phase-1 result is final regardless."""
+    # windows are relative to each ray's scene-bbox ENTRY (0 for
+    # origins already inside — pool bounce rays): a stand-off camera
+    # would otherwise put every hit beyond an origin-relative cap
+    root_lo = scene.node_bbox_min[0]
+    root_hi = scene.node_bbox_max[0]
+    t_en = jnp.full(origin.shape[:1], -jnp.inf, F32)
+    t_ex = jnp.full(origin.shape[:1], jnp.inf, F32)
+    for ax in range(3):
+        inv = _safe_inv(direction[:, ax])
+        a = (root_lo[ax] - origin[:, ax]) * inv
+        b = (root_hi[ax] - origin[:, ax]) * inv
+        t_en = jnp.maximum(t_en, jnp.minimum(a, b))
+        t_ex = jnp.minimum(t_ex, jnp.maximum(a, b))
+    entry = jnp.where((t_ex >= t_en) & (t_ex >= 0.0),
+                      jnp.maximum(t_en, 0.0), 0.0)
+    caps = entry + t_cap
     hit = intersect_closest(
         scene, origin, direction, stack_size, backend=backend,
         watertight=watertight, opacity_u=opacity_u,
-        alpha_textures=alpha_textures, t_cap=t_cap)
-    need = ~hit.hit | (hit.t >= t_cap)
+        alpha_textures=alpha_textures, t_cap=caps)
+    # a capped miss is FINAL when the ray exits the scene bbox before
+    # the cap (the kernel's sentinel was the scene exit, so the whole
+    # ray was searched) — don't re-cast full-scene misses
+    need = jnp.where(hit.hit, hit.t >= caps, t_ex > caps)
     if live is not None:
         need = need & live
     itr = hit.iterations
-    floor_prev = t_cap
+    floor_prev = caps
     far = jnp.float32(2e9)
     for k in range(1, int(phases)):
         last = k == int(phases) - 1
-        cap_k = None if last else t_cap * (grow ** k)
+        cap_k = None if last else entry + t_cap * (grow ** k)
         liv = need.astype(I32)
         n_need = jnp.sum(liv)
         pos = jnp.where(need, jnp.cumsum(liv) - 1,
@@ -779,21 +799,27 @@ def intersect_closest_slab(scene, origin, direction, stack_size, t_cap,
         o2 = perm(jnp.where(need[:, None], origin, far))
         d2 = perm(jnp.where(need[:, None], direction,
                             jnp.asarray([1.0, 0.0, 0.0], F32)))
-        # alpha casts floor only the recast loop's FIRST pass (original
-        # origins) — see _alpha_recast — so the floor is exact there too
-        floor_k = floor_prev
+        # the kernel floor is an SMEM scalar: use the tightest bound
+        # that holds for EVERY unresolved ray (min of their per-ray
+        # proven-clear windows; conservative, still exact). Alpha casts
+        # floor only the recast loop's FIRST pass (original origins) —
+        # see _alpha_recast — so the floor is exact there too.
+        floor_k = jnp.min(jnp.where(need, floor_prev, jnp.inf))
+        floor_k = jnp.where(jnp.isfinite(floor_k), floor_k, 0.0)
         hit_k = intersect_closest(
             scene, o2, d2, stack_size, t_min=floor_k, backend=backend,
             watertight=watertight,
             opacity_u=None if opacity_u is None else perm(opacity_u),
-            alpha_textures=alpha_textures, t_cap=cap_k)
+            alpha_textures=alpha_textures,
+            t_cap=None if cap_k is None else perm(cap_k))
         # back to caller order (new[pos[i]] = old[i] -> gather by pos)
         hit_k = jax.tree_util.tree_map(lambda x: x[pos], hit_k)
         itr = itr + jnp.where(need, hit_k.iterations, 0)
         hit = jax.tree_util.tree_map(
             lambda a, b: jnp.where(need, b, a), hit, hit_k)
         if not last:
-            need = need & (~hit_k.hit | (hit_k.t >= cap_k))
+            need = need & jnp.where(hit_k.hit, hit_k.t >= cap_k,
+                                    t_ex > cap_k)
             floor_prev = cap_k
     return hit._replace(iterations=itr)
 

@@ -1200,16 +1200,20 @@ def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
     rows-layout fast path (origin/direction then None): skips the
     ~7 ms/M-ray (R, 3) relayout.
 
-    t_cap (traced scalar) caps the search window: only hits with
-    t < ~t_cap are reported (hits within one argmin-truncation quantum
-    above t_cap may still be reported; anything decoding as a miss is
-    guaranteed to have no hit strictly below t_cap). Capping tightens
-    BOTH prunes — the per-ray fine-enter cull and the bundle-max early
-    break start at min(scene_exit, t_cap) instead of the scene exit —
-    which is the slab-marching lever for incoherent pools: a capped
-    pass answers most rays cheaply, the compacted remainder re-casts
-    with the full window (integrator/wavefront._sorted_closest)."""
+    t_cap (traced scalar or per-ray (R,) row; scalar only with rows=)
+    caps the search window: only hits with t < ~t_cap are reported
+    (hits within one argmin-truncation quantum above t_cap may still
+    be reported; anything decoding as a miss is guaranteed to have no
+    hit strictly below t_cap). Capping tightens BOTH prunes — the
+    per-ray fine-enter cull and the bundle-max early break start at
+    min(scene_exit, t_cap) instead of the scene exit — which is the
+    slab-marching lever for incoherent pools: a capped pass answers
+    most rays cheaply, the compacted remainder re-casts with the full
+    window (accel.traverse.intersect_closest_slab)."""
+    cap_arr = (t_cap is not None
+               and getattr(jnp.asarray(t_cap), "ndim", 0) == 1)
     if rows is not None:
+        assert not cap_arr, "per-ray t_cap unsupported with rows="
         if rows[0].shape[1] > SLICE_RAYS:
             (os_, ds_), r = _slice_rays_rows(rows)
             outs = jax.lax.map(
@@ -1223,12 +1227,21 @@ def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
         return _closest_impl(scene, None, None, t_min, interpret,
                              watertight, rows=rows, t_cap=t_cap)
     if origin.shape[0] > SLICE_RAYS:
-        (os_, ds_), r = _slice_rays(origin, direction)
-        outs = jax.lax.map(
-            lambda od: _closest_impl(scene, od[0], od[1], t_min,
-                                     interpret, watertight,
-                                     t_cap=t_cap),
-            (os_, ds_))
+        if cap_arr:
+            (os_, ds_, cs_), r = _slice_rays(
+                origin, direction, extra=jnp.asarray(t_cap, F32))
+            outs = jax.lax.map(
+                lambda odc: _closest_impl(scene, odc[0], odc[1], t_min,
+                                          interpret, watertight,
+                                          t_cap=odc[2]),
+                (os_, ds_, cs_))
+        else:
+            (os_, ds_), r = _slice_rays(origin, direction)
+            outs = jax.lax.map(
+                lambda od: _closest_impl(scene, od[0], od[1], t_min,
+                                         interpret, watertight,
+                                         t_cap=t_cap),
+                (os_, ds_))
         return jax.tree_util.tree_map(
             lambda x: x.reshape(-1, *x.shape[2:])[:r], outs)
     return _closest_impl(scene, origin, direction, t_min, interpret,
@@ -1266,8 +1279,13 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
         # cap the search window: the init sentinel AND the cull t
         # ceiling shrink to ~t_cap (padded past the argmin truncation
         # quantum like _scene_exit, so a true hit just below the cap
-        # still truncates strictly under the miss sentinel)
+        # still truncates strictly under the miss sentinel). t_cap is
+        # a scalar or a per-ray (R,) row (slab marching uses
+        # entry-relative caps so stand-off camera rays get a useful
+        # window too).
         capp = jnp.asarray(t_cap, F32) * 1.001 + 1e-3
+        if capp.ndim == 1:
+            capp = jnp.pad(capp, (0, rp - r))[None, :]
         texp = jnp.minimum(texp, capp)
         tm = jnp.minimum(tm, capp)
     tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
