@@ -113,6 +113,27 @@ def traversal_metrics():
         out[f"mrays_{label}_closest"] = nrays / t_ext / 1e6
         out[f"mrays_{label}_any"] = nrays / t_shd / 1e6
         out[f"mrays_{label}_combined"] = 2 * nrays / (t_ext + t_shd) / 1e6
+        if label == "212k":
+            # distance-slab A/B on the headline scene (entry-relative
+            # two-phase cast, docs/PERF.md): records what the marched
+            # window is worth on coherent camera rays
+            from directcomputeraytracing_tpu.accel.traverse import (
+                intersect_closest_slab,
+            )
+
+            root = (arrays.node_bbox_max[0] - arrays.node_bbox_min[0])
+            diag = float(jnp.sqrt(jnp.sum(root ** 2)))
+            for frac in (0.05, 0.15):
+                D = jnp.float32(frac * diag)
+
+                @jax.jit
+                def ext_slab(o, d, D=D):
+                    return intersect_closest_slab(
+                        arrays, o, d, cfg.stack_size, D).t.sum()
+
+                t_s = _timed(lambda: float(ext_slab(o, d)))
+                out[f"mrays_{label}_closest_slab{frac}"] = (
+                    nrays / t_s / 1e6)
         del arrays
     return out
 
