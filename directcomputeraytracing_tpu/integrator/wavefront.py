@@ -216,101 +216,57 @@ def _park(mask, o, d):
                       jnp.asarray([1.0, 0.0, 0.0], jnp.float32)))
 
 
-def _sorted_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
-    """Closest-hit cast with the pool re-ordered into coherent bundles
-    (octant + origin-Morton key, idle lanes parked last). The
-    reference's pool stays coherent via per-wave compaction and
-    block-local pixel assignment (WavefrontPathTracing.hlsl:444-478,
-    558-602); on the TPU the work-list traversal wants tile-compact
-    1024-ray bundles, which a bounced pool in lane order is not —
-    sorting before the cast is what makes large-frame wavefront
-    viable.
-
-    With cfg.slab_march = f > 0 the cast runs as two distance slabs:
-    phase 1 capped at D = f * scene_diag (the cap shrinks every ray's
-    enter prune and the bundle-max early break to <= D — the dense
-    sweep otherwise pays for per-ray front-to-back order that
-    bundle-min item order cannot provide on incoherent pools), then
-    the unresolved rays (no accepted hit below D) are stable-compacted
-    to the front — fresh, denser bundles — and re-cast with the full
-    window. Exact: phase 1's merge keeps only hits with t < D
-    strictly, and the alpha accept decision depends only on
-    (opacity_u, triangle), so splitting the march at D cannot change
-    any layer decision."""
-    from .common import ray_sort_key
-
-    root_lo = scene.node_bbox_min[0]
-    root_hi = scene.node_bbox_max[0]
-    inv_ext = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)
-    key = ray_sort_key(ray_o, ray_d, root_lo, inv_ext)
-    key = jnp.where(busy, key, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(key)
+def _pool_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
+    """Closest-hit cast over the pool IN LANE ORDER (the step permutes
+    the whole pool into coherent key order once per iteration — see
+    _permute_pool — so no per-cast sort is needed). Idle lanes cast a
+    parked far ray. With cfg.slab_march > 0 the cast marches geometric
+    distance windows (accel.traverse.intersect_closest_slab)."""
     ray_o, ray_d = _park(busy, ray_o, ray_d)
-    o_s, d_s = ray_o[order], ray_d[order]
-    ou_s = None if opacity_u is None else opacity_u[order]
-    inv = jnp.zeros_like(order).at[order].set(
-        jnp.arange(order.shape[0], dtype=order.dtype))
     if not _slab_enabled(scene, cfg):
-        hit_s = intersect_closest(
-            scene, o_s, d_s, cfg.stack_size,
+        return intersect_closest(
+            scene, ray_o, ray_d, cfg.stack_size,
             backend=cfg.traversal_backend, watertight=cfg.watertight,
-            opacity_u=ou_s, alpha_textures=cfg.any_hit_texture)
-        return jax.tree_util.tree_map(lambda x: x[inv], hit_s)
-
+            opacity_u=opacity_u, alpha_textures=cfg.any_hit_texture)
     from ..accel.traverse import intersect_closest_slab
 
-    merged = intersect_closest_slab(
-        scene, o_s, d_s, cfg.stack_size, _slab_depth(scene, cfg),
+    return intersect_closest_slab(
+        scene, ray_o, ray_d, cfg.stack_size, _slab_depth(scene, cfg),
         backend=cfg.traversal_backend, watertight=cfg.watertight,
-        opacity_u=ou_s, alpha_textures=cfg.any_hit_texture,
-        live=busy[order], phases=cfg.slab_phases)
-    return jax.tree_util.tree_map(lambda x: x[inv], merged)
+        opacity_u=opacity_u, alpha_textures=cfg.any_hit_texture,
+        live=busy, phases=cfg.slab_phases)
 
 
-def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
-                opacity_u):
-    """Any-hit cast with the same coherence sort (shadow origins sit at
-    the bounced hit points, so they are exactly as incoherent as the
-    extension rays). Inactive lanes park last and cast a zero-length
-    ray.
+def _pool_any(scene, cfg, active, shadow_o, shadow_d, distance,
+              opacity_u):
+    """Any-hit cast over the pool in lane order (shadow origins sit at
+    the bounced hit points, so they inherit the pool permutation's
+    coherence). Inactive lanes park and cast a zero-length ray.
 
     cfg.slab_march > 0 runs the occlusion query in two distance slabs
     (no kernel change needed — the any cast's t_max is already the
     per-ray window): phase 1 over (0, min(dist, D)), then the
     still-unoccluded rays with dist > D compact to the front and
-    re-run the full window. Exact: phase 1's verdict is exhaustive for
-    its window, so occluded = occ1 | occ2 on the remainder."""
-    from .common import ray_sort_key
-
-    root_lo = scene.node_bbox_min[0]
-    root_hi = scene.node_bbox_max[0]
-    inv_ext = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)
-    key = ray_sort_key(shadow_o, shadow_d, root_lo, inv_ext)
-    key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(key)
+    re-run the full window floored at D. Exact: phase 1's verdict is
+    exhaustive for its window, so occluded = occ1 | occ2 on the
+    remainder."""
     dist = jnp.where(active, distance, 0.0)
-    # park inactive lanes' stale rays (see _sorted_closest): the
+    # park inactive lanes' stale rays (see _pool_closest): the
     # zero-length t_max alone does not protect the alpha path, whose
     # recast loop runs a closest cast with no t_max cap
-    shadow_o, shadow_d = _park(active, shadow_o, shadow_d)
-    o_s, d_s = shadow_o[order], shadow_d[order]
-    dist_s = dist[order]
-    ou_s = None if opacity_u is None else opacity_u[order]
-    inv = jnp.zeros_like(order).at[order].set(
-        jnp.arange(order.shape[0], dtype=order.dtype))
+    o_s, d_s = _park(active, shadow_o, shadow_d)
     if not _slab_enabled(scene, cfg):
-        occ_s = intersect_any(
-            scene, o_s, d_s, dist_s, cfg.stack_size,
+        return intersect_any(
+            scene, o_s, d_s, dist, cfg.stack_size,
             backend=cfg.traversal_backend, watertight=cfg.watertight,
-            opacity_u=ou_s, alpha_textures=cfg.any_hit_texture)
-        return occ_s[inv]
+            opacity_u=opacity_u, alpha_textures=cfg.any_hit_texture)
 
     D = _slab_depth(scene, cfg)
     occ1 = intersect_any(
-        scene, o_s, d_s, jnp.minimum(dist_s, D), cfg.stack_size,
+        scene, o_s, d_s, jnp.minimum(dist, D), cfg.stack_size,
         backend=cfg.traversal_backend, watertight=cfg.watertight,
-        opacity_u=ou_s, alpha_textures=cfg.any_hit_texture)
-    need = active[order] & ~occ1 & (dist_s > D)
+        opacity_u=opacity_u, alpha_textures=cfg.any_hit_texture)
+    need = active & ~occ1 & (dist > D)
     liv = need.astype(I32)
     n_need = jnp.sum(liv)
     pos = jnp.where(need, jnp.cumsum(liv) - 1,
@@ -323,15 +279,36 @@ def _sorted_any(scene, cfg, active, shadow_o, shadow_d, distance,
     # phase 2 floors the window at D (kernel t_min + fine-enter prune
     # skip the near field; phase 1 was exhaustive below D; alpha casts
     # floor the recast loop's first pass only — see _alpha_recast)
-    floor2 = D
     occ2 = intersect_any(
-        scene, perm(o2), perm(d2), perm(jnp.where(need, dist_s, 0.0)),
-        cfg.stack_size, t_min=floor2, backend=cfg.traversal_backend,
+        scene, perm(o2), perm(d2), perm(jnp.where(need, dist, 0.0)),
+        cfg.stack_size, t_min=D, backend=cfg.traversal_backend,
         watertight=cfg.watertight,
-        opacity_u=None if ou_s is None else perm(ou_s),
+        opacity_u=None if opacity_u is None else perm(opacity_u),
         alpha_textures=cfg.any_hit_texture)
-    occ_s = occ1 | (need & occ2[pos])
-    return occ_s[inv]
+    return occ1 | (need & occ2[pos])
+
+
+def _permute_pool(scene, busy, ray_o, ray_d, lanes):
+    """Permute the pool's whole lane-space working set into coherent
+    extension-ray key order (octant + origin-Morton, idle lanes last).
+    ONE argsort + one gather per array per iteration replaces the old
+    per-cast sort/unsort pair, and the shadow cast inherits the order
+    for free (its origins are these rays' hit points; sort keys are
+    origin-window-dominated, docs/PERF.md). Lane identity is invisible
+    to the film — seeds and film indices are pixel-based — so the
+    radiance sum is bit-identical to the unpermuted pool. The
+    reference gets the equivalent locality from block-local pixel
+    assignment + wave compaction (WavefrontPathTracing.hlsl:444-478,
+    558-602)."""
+    from .common import ray_sort_key
+
+    root_lo = scene.node_bbox_min[0]
+    root_hi = scene.node_bbox_max[0]
+    inv_ext = 1.0 / jnp.maximum(root_hi - root_lo, 1e-6)
+    key = ray_sort_key(ray_o, ray_d, root_lo, inv_ext)
+    key = jnp.where(busy, key, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
+    return tuple(x[order] for x in (busy, ray_o, ray_d) + tuple(lanes))
 
 
 def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
@@ -392,12 +369,24 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
         out_pos = s.out_pos.at[jnp.where(take, pidx, R)].set(
             pixel_sample, mode="drop")
 
+        bsdf_pdf_prev = s.bsdf_pdf
+        is_delta_prev = s.is_delta
+        # ---- permute the pool into coherent key order (ONE sort per
+        # iteration; both casts then run in lane order) ----------------
+        if cfg.sort_bounce_rays:
+            (busy, ray_o, ray_d, rng, pixel_new, pidx, throughput, li,
+             bounce, is_primary, opacity_u, bsdf_pdf_prev,
+             is_delta_prev) = _permute_pool(
+                scene, busy, ray_o, ray_d,
+                (rng, pixel_new, pidx, throughput, li, bounce,
+                 is_primary, opacity_u, bsdf_pdf_prev, is_delta_prev))
+
         # ---- EXTENSION_RAY_CAST: primary + extension rays together ------
         # alpha sample was pre-drawn at this cast's generation site
         # (refill for primaries, MATERIAL for extensions) — exactly the
         # megakernel's draw order
         if cfg.sort_bounce_rays:
-            hit = _sorted_closest(
+            hit = _pool_closest(
                 scene, cfg, busy, ray_o, ray_d,
                 opacity_u if cfg.any_hit else None)
         else:
@@ -429,8 +418,8 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
         rad, l_pdf = evaluate_light_direct(
             scene, max(cfg.light_count, 1), cfg.has_env_texture, light_idx,
             itx.triangle_index, itx.geometry_normal, ray_d, hit.t)
-        w = jnp.where(s.is_delta, 1.0,
-                      power_heuristic(1, s.bsdf_pdf, 1, l_pdf))
+        w = jnp.where(is_delta_prev, 1.0,
+                      power_heuristic(1, bsdf_pdf_prev, 1, l_pdf))
         ok = sec & (l_pdf > 0.0)
         li = li + _sel(ok, throughput * rad * w[..., None],
                        jnp.zeros_like(rad))
@@ -454,8 +443,8 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
                 rng, ou_s = _m1(rng, alive)
             # ---- SHADOW_RAY_CAST ----
             if cfg.sort_bounce_rays:
-                occluded = _sorted_any(scene, cfg, alive, shadow_o,
-                                       ls.wi, ls.distance, ou_s)
+                occluded = _pool_any(scene, cfg, alive, shadow_o,
+                                     ls.wi, ls.distance, ou_s)
             else:
                 occluded = intersect_any(
                     scene, shadow_o, ls.wi, ls.distance,
@@ -493,8 +482,8 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
             opacity_u = jnp.where(still, ou_e, opacity_u)
         ray_o = _sel(still, ext_o, ray_o)
         ray_d = _sel(still, wi_new, ray_d)
-        bsdf_pdf = jnp.where(still, f_pdf, s.bsdf_pdf)
-        is_delta_new = jnp.where(still, is_delta, s.is_delta)
+        bsdf_pdf = jnp.where(still, f_pdf, bsdf_pdf_prev)
+        is_delta_new = jnp.where(still, is_delta, is_delta_prev)
         bounce = jnp.where(still, bounce + 1, bounce)
 
         # ---- CONTROL: write finished samples to the film ----------------
