@@ -475,12 +475,17 @@ def _alpha_recast(scene, origin, direction, first_floor, opacity_u,
     (BVHAccel.inc.hlsl:182-190) maps to the TPU fast path: the texture
     gather moves OUT of the kernel, the traversal stays dense.
 
-    cast_closest(o, d, tmn) receives the per-pass kernel floor tmn:
-    first_floor on pass 0 (which runs from the ORIGINAL origins — the
-    window floor of a slab-march phase applies there and skips the
-    re-proven near field), 0 on later passes (advanced origins, where
-    an absolute floor no longer translates; the march itself is already
-    beyond the floor).
+    cast_closest(o, d, tmn, cap) receives the per-pass kernel floor
+    tmn — first_floor on pass 0 (which runs from the ORIGINAL origins,
+    so the window floor of a slab-march phase applies there and skips
+    the re-proven near field), 0 on later passes (advanced origins,
+    where an absolute floor no longer translates; the march itself is
+    already beyond the floor) — and the per-ray remaining window cap
+    (t_max - t_base, valid on EVERY pass because both are relative to
+    the current origin). The cap bounds the masked-subset traversal
+    by the opaque ceiling in-kernel, like the reference's t-bounded
+    AnyHit; it is exact — any candidate beyond it would fail the
+    take/ends window test below anyway.
 
     Returns (t, u, v, tri, inst, back, occluded) with t accumulated
     across passes. When t_max is given, occluded = accepted hit within
@@ -508,7 +513,8 @@ def _alpha_recast(scene, origin, direction, first_floor, opacity_u,
                           jnp.asarray([1.0, 0.0, 0.0], F32), dirp)
         tmn = jnp.where(k == 0, jnp.asarray(first_floor, F32),
                         jnp.float32(0.0))
-        t, u, v, tri, inst, back = cast_closest(o_eff, d_eff, tmn)
+        rem = jnp.where(done, 0.0, jnp.maximum(tmaxp - t_base, 0.0))
+        t, u, v, tri, inst, back = cast_closest(o_eff, d_eff, tmn, rem)
         hit = jnp.isfinite(t)
         opac, opaque = effective_opacity(scene, tri, inst, u, v,
                                          alpha_textures)
@@ -690,12 +696,15 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
             ceil = jnp.where(jnp.isfinite(t_o), t_o, jnp.inf)
             if t_cap is not None:
                 ceil = jnp.minimum(ceil, jnp.asarray(t_cap, F32))
+            capkw2 = (lambda cap: {"t_cap": cap}) if is_wl else (
+                lambda cap: {})
             t_m, u_m, v_m, tri_m, inst_m, back_m, _ = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
-                lambda o, d, tmn: cast(_split_view(scene, masked=True),
-                                       o, d, tmn, interpret=interp,
-                                       watertight=watertight)[:6],
+                lambda o, d, tmn, cap: cast(
+                    _split_view(scene, masked=True), o, d, tmn,
+                    interpret=interp, watertight=watertight,
+                    **capkw2(cap))[:6],
                 t_max=ceil)
             m = jnp.isfinite(t_m) & (t_m < t_o)
             t = jnp.where(m, t_m, t_o)
@@ -705,12 +714,15 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
             inst = jnp.where(m, inst_m, inst_o)
             back = jnp.where(m, back_m, back_o)
         else:
+            capkw2 = (lambda cap: {"t_cap": cap}) if is_wl else (
+                lambda cap: {})
             t, u, v, tri, inst, back, _ = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
-                lambda o, d, tmn: cast(scene, o, d, tmn,
-                                       interpret=interp,
-                                       watertight=watertight)[:6],
+                lambda o, d, tmn, cap: cast(scene, o, d, tmn,
+                                            interpret=interp,
+                                            watertight=watertight,
+                                            **capkw2(cap))[:6],
                 t_max=(None if t_cap is None
                        else jnp.broadcast_to(jnp.asarray(t_cap, F32),
                                              origin.shape[:1])))
@@ -873,20 +885,27 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                 occ_o, 0.0,
                 jnp.broadcast_to(jnp.asarray(t_max, F32),
                                  (origin.shape[0],)))
+            is_wl2 = backend.startswith("pallas_wl")
+            capkw2 = (lambda cap: {"t_cap": cap}) if is_wl2 else (
+                lambda cap: {})
             occ_m = _alpha_recast(
                 scene, origin, direction, t_min, opacity_u,
                 alpha_textures,
-                lambda o, d, tmn: cast_c(_split_view(scene,
-                                                     masked=True),
-                                         o, d, tmn, interpret=interp,
-                                         watertight=watertight)[:6],
+                lambda o, d, tmn, cap: cast_c(
+                    _split_view(scene, masked=True), o, d, tmn,
+                    interpret=interp, watertight=watertight,
+                    **capkw2(cap))[:6],
                 t_max=t_rest)[6]
             return occ_o | occ_m
+        is_wl2 = backend.startswith("pallas_wl")
+        capkw2 = (lambda cap: {"t_cap": cap}) if is_wl2 else (
+            lambda cap: {})
         occ = _alpha_recast(
             scene, origin, direction, t_min, opacity_u, alpha_textures,
-            lambda o, d, tmn: cast_c(scene, o, d, tmn,
-                                     interpret=interp,
-                                     watertight=watertight)[:6],
+            lambda o, d, tmn, cap: cast_c(scene, o, d, tmn,
+                                          interpret=interp,
+                                          watertight=watertight,
+                                          **capkw2(cap))[:6],
             t_max=t_max)[6]
         return occ
     if backend == "brute":
