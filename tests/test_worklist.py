@@ -424,3 +424,36 @@ def test_slab_helper_three_phases_exact(grid_scene):
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(slab.triangle)[m],
                                   np.asarray(full.triangle)[m])
+
+
+def test_instanced_slab_helper_exact(monkeypatch):
+    """intersect_closest_slab through the BLAS-sharing instanced tables
+    (mesh-local slabs, per-item ray re-transform) must reproduce the
+    single full cast exactly — the capped sentinel and the floored
+    later phase ride the same world-t packing the instanced kernels
+    use."""
+    from directcomputeraytracing_tpu.accel.traverse import (
+        intersect_closest_slab,
+    )
+
+    monkeypatch.setenv("DCRT_INSTANCED", "1")
+    scene, _cam = sphere_grid(3, 3, stacks=12, slices=16)
+    arrays, meta = flatten_scene(scene)
+    assert arrays.isup_inst.shape[0] > 1
+    o, d = _rays(256, seed=25)
+    full = intersect_closest(arrays, o, d, meta.stack_size,
+                             backend="pallas_wl_interpret")
+    t_full = np.asarray(full.t)
+    D = float(np.median(t_full[np.asarray(full.hit)]))
+    slab = intersect_closest_slab(arrays, o, d, meta.stack_size,
+                                  jnp.float32(D),
+                                  backend="pallas_wl_interpret")
+    np.testing.assert_array_equal(np.asarray(slab.hit),
+                                  np.asarray(full.hit))
+    m = np.asarray(full.hit)
+    np.testing.assert_allclose(np.asarray(slab.t)[m], t_full[m],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(slab.triangle)[m],
+                                  np.asarray(full.triangle)[m])
+    np.testing.assert_array_equal(np.asarray(slab.instance)[m],
+                                  np.asarray(full.instance)[m])
