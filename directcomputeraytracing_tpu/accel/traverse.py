@@ -768,6 +768,7 @@ def intersect_closest_slab(scene, origin, direction, stack_size, t_cap,
     floor no longer translates. Exact vs a single full cast up to
     packed-argmin quantum ties at the window boundaries. live masks
     lanes whose phase-1 result is final regardless."""
+    assert int(phases) >= 2, "slab marching needs a final unbounded phase"
     # windows are relative to each ray's scene-bbox ENTRY (0 for
     # origins already inside — pool bounce rays): a stand-off camera
     # would otherwise put every hit beyond an origin-relative cap
