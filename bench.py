@@ -183,6 +183,7 @@ def kernel_check_metrics():
     mism = 0
     for arr, backend in ((arrays, "pallas_wl"),
                          (arrays, "pallas_cluster"),
+                         (arrays, "pallas_pair"),
                          (arrays_inst, "pallas_wl")):
         hc = intersect_closest(arr, o, d, meta.stack_size,
                                backend=backend)

@@ -577,6 +577,13 @@ def _alpha_recast(scene, origin, direction, first_floor, opacity_u,
 
 
 def _resolve_backend(scene, backend):
+    if backend.startswith("pallas_pair"):
+        # the pair-expanded sweep v1 needs the world-soup cluster
+        # tables: instanced or tiny scenes ride the bundle work-list
+        if scene.isup_inst.shape[0] > 1 or scene.cluster_bbox.shape[0] <= 1:
+            backend = ("pallas_wl_interpret"
+                       if backend.endswith("interpret") else "pallas_wl")
+        return backend
     if backend != "auto":
         return backend
     if scene.isup_inst.shape[0] > 1:
@@ -599,7 +606,8 @@ def _resolve_backend(scene, backend):
 
 _PALLAS_BACKENDS = ("pallas", "pallas_interpret", "pallas_cluster",
                     "pallas_cluster_interpret", "pallas_wl",
-                    "pallas_wl_interpret")
+                    "pallas_wl_interpret", "pallas_pair",
+                    "pallas_pair_interpret")
 
 
 def _has_alpha_split(scene, backend):
@@ -611,6 +619,7 @@ def _has_alpha_split(scene, backend):
             and scene.oclu_bbox.shape[0] > 1
             and scene.isup_inst.shape[0] <= 1
             and (backend.startswith("pallas_wl")
+                 or backend.startswith("pallas_pair")
                  or backend.startswith("pallas_cluster")))
 
 
@@ -657,8 +666,11 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
         backend = "jax"  # non-Pallas textured alpha: the stack path
     if backend in _PALLAS_BACKENDS:
         interp = backend.endswith("interpret")
-        is_wl = backend.startswith("pallas_wl")
-        if is_wl:
+        is_wl = (backend.startswith("pallas_wl")
+                 or backend.startswith("pallas_pair"))
+        if backend.startswith("pallas_pair"):
+            from .pairsweep import pair_closest_pallas as cast
+        elif is_wl:
             from .worklist import worklist_closest_pallas as cast
         elif backend.startswith("pallas_cluster"):
             from .pallas_brute import clustered_closest_pallas as cast
@@ -858,7 +870,10 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
         backend = "jax"  # non-Pallas textured alpha: the stack path
     if backend in _PALLAS_BACKENDS:
         interp = backend.endswith("interpret")
-        if backend.startswith("pallas_wl"):
+        if backend.startswith("pallas_pair"):
+            from .pairsweep import pair_any_pallas as cast_any
+            from .pairsweep import pair_closest_pallas as cast_c
+        elif backend.startswith("pallas_wl"):
             from .worklist import worklist_any_pallas as cast_any
             from .worklist import worklist_closest_pallas as cast_c
         elif backend.startswith("pallas_cluster"):
@@ -886,7 +901,8 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                 occ_o, 0.0,
                 jnp.broadcast_to(jnp.asarray(t_max, F32),
                                  (origin.shape[0],)))
-            is_wl2 = backend.startswith("pallas_wl")
+            is_wl2 = (backend.startswith("pallas_wl")
+                      or backend.startswith("pallas_pair"))
             capkw2 = (lambda cap: {"t_cap": cap}) if is_wl2 else (
                 lambda cap: {})
             occ_m = _alpha_recast(
@@ -898,7 +914,8 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
                     **capkw2(cap))[:6],
                 t_max=t_rest)[6]
             return occ_o | occ_m
-        is_wl2 = backend.startswith("pallas_wl")
+        is_wl2 = (backend.startswith("pallas_wl")
+                  or backend.startswith("pallas_pair"))
         capkw2 = (lambda cap: {"t_cap": cap}) if is_wl2 else (
             lambda cap: {})
         occ = _alpha_recast(

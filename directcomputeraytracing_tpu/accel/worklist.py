@@ -89,6 +89,8 @@ MAX_HYPER = int(_os.environ.get("DCRT_WL_MAXH", "16384"))
                              # (block, hyper) refine items per dispatch
 PAIR = int(_os.environ.get("DCRT_WL_PAIR", "2"))
                              # clusters fused per sweep iteration (1|2)
+CAPM = int(_os.environ.get("DCRT_WL_CAPM", "16"))
+                             # sweep items per block (capacity budget)
 _NOSEL = _os.environ.get("DCRT_WL_DEBUG_NOSEL") == "1"
                              # diagnostic: skip winner-attribute
                              # selection (WRONG results; isolates the
@@ -1068,12 +1070,19 @@ def _stack_fallback_closest(scene, origin, direction, t_min, watertight,
     return jnp.pad(packed, ((0, 0), (0, rp - origin.shape[0])))
 
 
-def _capacity(nb, cs):
+def _capacity(nb, cs, mult=None):
     """Sweep-item capacity scales with the block count (smaller RB =
     more, tighter blocks = proportionally more items) under the SMEM
     hard cap; the round-2 RB=512 'collapse' was this cap not scaling —
-    2048 blocks overflowed 16384 items and hit the dense fallback."""
-    return int(min(max(nb * 16, 2048), MAX_COARSE, nb * cs))
+    2048 blocks overflowed 16384 items and hit the dense fallback.
+
+    `mult` (DCRT_WL_CAPM default) is the items-per-block budget:
+    coherent camera bundles need ~16, but an INCOHERENT pool block
+    enters ~180 supers at 212k tris (experiments/pair_econ.py) — the
+    1080p pool silently rode the dense fallback until the pair-sweep
+    path raised its own multiplier (pairsweep.PAIR_CAPM)."""
+    m = CAPM if mult is None else mult
+    return int(min(max(nb * m, 2048), MAX_COARSE, nb * cs))
 
 
 def _mask_untouched(out, block_any, miss_value):
@@ -1108,22 +1117,24 @@ def _scene_exit(scene, od):
     return (tex * 1.001 + 1e-3)[None, :]
 
 
-def _phases(scene, od, tm, interpret):
+def _phases(scene, od, tm, interpret, cap_mult=None):
     """Phases A-B: descend to a per-block front-to-back SUPER item
     list for the fused sweep. Large scenes add a hyper level (dense
     hyper cull + one generic refine) so the dense cull never exceeds
     BT sublanes; the evolving best-t pruning below super level lives in
     the fused sweep kernel itself (a pre-expanded cluster frontier
     without it measured 8x worse — most clusters a ray's infinite line
-    pierces are behind its first hit)."""
+    pierces are behind its first hit). cap_mult overrides the
+    items-per-block capacity budget (incoherent-pool callers)."""
     tabs, cbox3, sboxv, cpad, cs, hyper = (
         _pad_tables_instanced(scene) if _instanced(scene)
         else _pad_tables(scene))
     nb = od.shape[1] // RB
-    cap_s = _capacity(nb, cs)
+    cap_s = _capacity(nb, cs, cap_mult)
     if hyper is not None:
         hsup, hboxv, nh, hs = hyper
-        cap_h = int(min(max(nb * 8, 1024), MAX_HYPER, nb * nh))
+        hm = 8 if cap_mult is None else max(8, cap_mult // 2)
+        cap_h = int(min(max(nb * hm, 1024), MAX_HYPER, nb * nh))
         tlo_h = _cull_super(hboxv, od, tm, interpret=interpret)
         bfh, hyp, _th, total_h, _ = _compact_pairs(tlo_h, nh, cap_h)
         tlo_s = _refine_items(hsup, hs, bfh, hyp, od, tm, cap_h,

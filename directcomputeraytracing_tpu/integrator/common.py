@@ -61,22 +61,35 @@ class RenderConfig:
                                         # remainder (0 = off)
     slab_phases: int = 2                # slab phase count (geometric
                                         # 5x windows, last unbounded)
+    pool_backend: str = ""              # wavefront POOL-cast backend
+                                        # override ("" = traversal_
+                                        # backend): bounced pools are
+                                        # incoherent, where the pair-
+                                        # expanded sweep ("pallas_pair")
+                                        # wins over the bundle sweep
 
     @property
     def has_env_light(self):
         return self.env_light_index >= 0
 
 
-def slab_enabled(scene, cfg):
-    """Distance-slab marching engages only on the work-list backend —
-    t_cap is advisory elsewhere, so two phases would just duplicate
-    the cast."""
+def pool_cast_backend(cfg):
+    """The wavefront pool casts' backend (cfg.pool_backend override,
+    else the scene-wide traversal backend)."""
+    return cfg.pool_backend or cfg.traversal_backend
+
+
+def slab_enabled(scene, cfg, backend=None):
+    """Distance-slab marching engages only on the work-list family
+    (work-list / pair sweep) — t_cap is advisory elsewhere, so two
+    phases would just duplicate the cast."""
     if cfg.slab_march <= 0.0:
         return False
     from ..accel.traverse import _resolve_backend
 
-    return _resolve_backend(scene, cfg.traversal_backend).startswith(
-        "pallas_wl")
+    resolved = _resolve_backend(scene,
+                                backend or cfg.traversal_backend)
+    return resolved.startswith(("pallas_wl", "pallas_pair"))
 
 
 def slab_depth(scene, cfg):

@@ -43,6 +43,7 @@ from ..sampling.montecarlo import power_heuristic
 from .common import (
     RenderConfig,
     offset_ray_origin,
+    pool_cast_backend,
     shade_hit,
     slab_depth as _slab_depth,
     slab_enabled as _slab_enabled,
@@ -223,16 +224,17 @@ def _pool_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
     parked far ray. With cfg.slab_march > 0 the cast marches geometric
     distance windows (accel.traverse.intersect_closest_slab)."""
     ray_o, ray_d = _park(busy, ray_o, ray_d)
-    if not _slab_enabled(scene, cfg):
+    bk = pool_cast_backend(cfg)
+    if not _slab_enabled(scene, cfg, bk):
         return intersect_closest(
             scene, ray_o, ray_d, cfg.stack_size,
-            backend=cfg.traversal_backend, watertight=cfg.watertight,
+            backend=bk, watertight=cfg.watertight,
             opacity_u=opacity_u, alpha_textures=cfg.any_hit_texture)
     from ..accel.traverse import intersect_closest_slab
 
     return intersect_closest_slab(
         scene, ray_o, ray_d, cfg.stack_size, _slab_depth(scene, cfg),
-        backend=cfg.traversal_backend, watertight=cfg.watertight,
+        backend=bk, watertight=cfg.watertight,
         opacity_u=opacity_u, alpha_textures=cfg.any_hit_texture,
         live=busy, phases=cfg.slab_phases)
 
@@ -255,16 +257,17 @@ def _pool_any(scene, cfg, active, shadow_o, shadow_d, distance,
     # zero-length t_max alone does not protect the alpha path, whose
     # recast loop runs a closest cast with no t_max cap
     o_s, d_s = _park(active, shadow_o, shadow_d)
-    if not _slab_enabled(scene, cfg):
+    bk = pool_cast_backend(cfg)
+    if not _slab_enabled(scene, cfg, bk):
         return intersect_any(
             scene, o_s, d_s, dist, cfg.stack_size,
-            backend=cfg.traversal_backend, watertight=cfg.watertight,
+            backend=bk, watertight=cfg.watertight,
             opacity_u=opacity_u, alpha_textures=cfg.any_hit_texture)
 
     D = _slab_depth(scene, cfg)
     occ1 = intersect_any(
         scene, o_s, d_s, jnp.minimum(dist, D), cfg.stack_size,
-        backend=cfg.traversal_backend, watertight=cfg.watertight,
+        backend=bk, watertight=cfg.watertight,
         opacity_u=opacity_u, alpha_textures=cfg.any_hit_texture)
     need = active & ~occ1 & (dist > D)
     liv = need.astype(I32)
@@ -281,7 +284,7 @@ def _pool_any(scene, cfg, active, shadow_o, shadow_d, distance,
     # floor the recast loop's first pass only — see _alpha_recast)
     occ2 = intersect_any(
         scene, perm(o2), perm(d2), perm(jnp.where(need, dist, 0.0)),
-        cfg.stack_size, t_min=D, backend=cfg.traversal_backend,
+        cfg.stack_size, t_min=D, backend=bk,
         watertight=cfg.watertight,
         opacity_u=None if opacity_u is None else perm(opacity_u),
         alpha_textures=cfg.any_hit_texture)

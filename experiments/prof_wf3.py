@@ -18,6 +18,7 @@ pool = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 pool = pool if pool else None
 slab = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 max_chunks = int(sys.argv[5]) if len(sys.argv) > 5 else 0   # 0 = drain
+pool_bk = sys.argv[6] if len(sys.argv) > 6 else ""  # e.g. pallas_pair
 
 with tempfile.TemporaryDirectory() as d:
     xml = write_standin_scene(d)
@@ -25,7 +26,8 @@ with tempfile.TemporaryDirectory() as d:
 cam = settings.camera
 
 r = Renderer(scene, cam, width=1920, height=1080, max_bounce=4,
-             any_hit=True, integrator="wavefront", slab_march=slab)
+             any_hit=True, integrator="wavefront", slab_march=slab,
+             pool_backend=pool_bk)
 px, py = r._px, r._py
 R = px.shape[0]
 RT = R * S
@@ -34,7 +36,7 @@ cfg = r.cfg
 state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py,
                        jnp.uint32(0), pool, S)
 print(f"S={S} ipd={ipd} pool={state.busy.shape[0]} RT={RT} "
-      f"slab={slab}", flush=True)
+      f"slab={slab} pool_bk={pool_bk!r}", flush=True)
 it, t_all, t0c, nch = 0, time.perf_counter(), None, 0
 while True:
     t0 = time.perf_counter()

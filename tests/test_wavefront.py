@@ -213,3 +213,31 @@ def test_slab_march_matches_single_cast():
     np.testing.assert_array_equal(np.asarray(pos_a), np.asarray(pos_b))
     np.testing.assert_allclose(np.asarray(val_a), np.asarray(val_b),
                                rtol=1e-5, atol=1e-6)
+
+@pytest.mark.slow
+def test_pool_backend_pair_matches_bundle():
+    """cfg.pool_backend='pallas_pair_interpret' (the pair-expanded
+    pool sweep) is a pure traversal-scheduling change: same hits, same
+    RNG streams, same image as the bundle work-list pool casts."""
+    from directcomputeraytracing_tpu.scene.presets import sphere_grid
+    from directcomputeraytracing_tpu.scene.scene import flatten_scene
+
+    scene, cam = sphere_grid(3, 3, stacks=12, slices=16)
+    arrays, meta = flatten_scene(scene)
+    assert arrays.cluster_bbox.shape[0] > 1
+    kw = dict(width=16, height=16, max_bounce=2,
+              stack_size=meta.stack_size, light_count=meta.light_count,
+              traversal_backend="pallas_wl_interpret",
+              sort_bounce_rays=True)
+    px, py = full_frame_pixels(RenderConfig(**kw))
+    luts = placeholder_luts()
+    pos_a, val_a = render_samples_wavefront(
+        arrays, luts, cam, RenderConfig(**kw), px, py, jnp.uint32(5),
+        pool_size=256)
+    pos_b, val_b = render_samples_wavefront(
+        arrays, luts, cam,
+        RenderConfig(pool_backend="pallas_pair_interpret", **kw), px,
+        py, jnp.uint32(5), pool_size=256)
+    np.testing.assert_array_equal(np.asarray(pos_a), np.asarray(pos_b))
+    np.testing.assert_allclose(np.asarray(val_a), np.asarray(val_b),
+                               rtol=1e-4, atol=1e-5)
