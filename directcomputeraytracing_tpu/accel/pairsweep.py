@@ -201,6 +201,11 @@ def _pair_layout(eb, blkflags, sup, cap_s, p_cap):
         jnp.where(first_s, jnp.clip(rb_row // RB, 0, npb - 1), npb)
     ].max(key_s, mode="drop")
     sup_pb = jnp.clip(_cummax(sup_pb), 0, None)
+    # pair blocks past the real total carry only dead lanes: mark them
+    # -1 so the sweep kernels skip their DMA + fine cull entirely
+    # (their output is garbage that the reduction never gathers)
+    sup_pb = jnp.where(
+        jnp.arange(npb, dtype=I32) * RB < p_total, sup_pb, -1)
 
     # --- slot ownership: item start positions -> cummax fill ---
     starts = jnp.full((p_cap,), -1, I32).at[
@@ -274,6 +279,7 @@ def _pair_closest_kernel(wt, spb_ref, cbox_ref, slab_ref, prt_ref,
     cross-item state: pair blocks are independent, the per-lane window
     cap (texp / t_cap, prt row 9) replaces the evolving best-t prune
     across supers."""
+    i = pl.program_id(0)
     rt = prt_ref[:, :].T                                 # (16, RB)
     od = rt[0:9, :]
     cap0 = rt[9:10, :]
@@ -291,6 +297,9 @@ def _pair_closest_kernel(wt, spb_ref, cbox_ref, slab_ref, prt_ref,
                               floor=t_min)
     iota = _iota_sup()
     keys, n = _cluster_keys(enter, t_lo, iota)
+    # pair blocks past the real pair total are all-dead capacity
+    # padding (sup_pb = -1): skip their sweep loop outright
+    n = jnp.where(spb_ref[i] >= 0, n, 0)
     mask_scr[:, :] = keys
     ox, oy, oz = od[0:1, :], od[1:2, :], od[2:3, :]
     dx, dy, dz = od[3:4, :], od[4:5, :], od[5:6, :]
@@ -360,6 +369,7 @@ def _pair_any_kernel(wt, spb_ref, cbox_ref, slab_ref, prt_ref,
     enter, t_lo = _fine_enter(cbox_ref, od, t_max, floor=t_min)
     iota = _iota_sup()
     keys, n = _cluster_keys(enter, t_lo, iota)
+    n = jnp.where(spb_ref[pl.program_id(0)] >= 0, n, 0)
     mask_scr[:, :] = keys
     ox, oy, oz = od[0:1, :], od[1:2, :], od[2:3, :]
     dx, dy, dz = od[3:4, :], od[4:5, :], od[5:6, :]
@@ -394,10 +404,13 @@ def _run_pair_sweep(kernel, nout, sup_pb, cbox3, ctab, prt, t_min,
         num_scalar_prefetch=1,
         grid=(npb,),
         in_specs=[
-            pl.BlockSpec((1, SUPER, 8), lambda i, spb: (spb[i], 0, 0),
+            # dead capacity-padding blocks carry spb = -1: clamp the
+            # DMA index (their lanes are parked; the kernel skips them)
+            pl.BlockSpec((1, SUPER, 8),
+                         lambda i, spb: (jnp.maximum(spb[i], 0), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SUPER * CLUSTER_SIZE, sw),
-                         lambda i, spb: (spb[i], 0),
+                         lambda i, spb: (jnp.maximum(spb[i], 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 16), lambda i, spb: (i, 0),
                          memory_space=pltpu.VMEM),
