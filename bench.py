@@ -71,9 +71,9 @@ def traversal_metrics():
         cfg = RenderConfig(width=w, height=h, max_bounce=1,
                            stack_size=meta.stack_size,
                            light_count=meta.light_count)
-        # 8x128 tile order: every 1024-ray kernel block gets a compact
-        # frustum (raster order makes bundle unions span the image and
-        # measured ~10x slower closest-hit)
+        # 32x32 tile order: every 1024-ray kernel block gets a compact
+        # square frustum (raster order makes bundle unions span the
+        # image and measured ~10x slower closest-hit)
         px, py, _ = tiled_frame_pixels(cfg)
 
         @jax.jit
@@ -113,27 +113,10 @@ def traversal_metrics():
         out[f"mrays_{label}_closest"] = nrays / t_ext / 1e6
         out[f"mrays_{label}_any"] = nrays / t_shd / 1e6
         out[f"mrays_{label}_combined"] = 2 * nrays / (t_ext + t_shd) / 1e6
-        if label == "212k":
-            # distance-slab A/B on the headline scene (entry-relative
-            # two-phase cast, docs/PERF.md): records what the marched
-            # window is worth on coherent camera rays
-            from directcomputeraytracing_tpu.accel.traverse import (
-                intersect_closest_slab,
-            )
-
-            root = (arrays.node_bbox_max[0] - arrays.node_bbox_min[0])
-            diag = float(jnp.sqrt(jnp.sum(root ** 2)))
-            for frac in (0.05, 0.15):
-                D = jnp.float32(frac * diag)
-
-                @jax.jit
-                def ext_slab(o, d, D=D):
-                    return intersect_closest_slab(
-                        arrays, o, d, cfg.stack_size, D).t.sum()
-
-                t_s = _timed(lambda: float(ext_slab(o, d)))
-                out[f"mrays_{label}_closest_slab{frac}"] = (
-                    nrays / t_s / 1e6)
+        # (distance-slab A/B rows removed: measured 9x SLOWER than the
+        # single cast on coherent camera rays on the real chip —
+        # 5.5 vs 50.1 Mrays/s, experiments/prof_slab.py, docs/PERF.md —
+        # so the marched cast stays opt-in for incoherent pools only)
         del arrays
     return out
 

@@ -353,14 +353,20 @@ def full_frame_pixels(cfg: RenderConfig):
     return xs.ravel(), ys.ravel()
 
 
-def tiled_frame_pixels(cfg: RenderConfig, tile_h=8, tile_w=128):
+def tiled_frame_pixels(cfg: RenderConfig, tile_h=32, tile_w=32):
     """Tile-major pixel ordering + inverse permutation to raster order.
 
-    Feeding the intersectors 8x128-pixel tiles instead of image rows gives
-    every 1024-ray kernel block a compact frustum, which is what lets the
-    clustered cull-and-sweep kernel skip most clusters per block (the
-    reference gets the same locality from its 16x8 thread groups and
-    512^2 dispatch tiles, MegakernelPathTracer.cpp:19-20,131-157).
+    Feeding the intersectors square 32x32-pixel tiles instead of image
+    rows gives every 1024-ray kernel block the most compact frustum,
+    which is what lets the clustered cull-and-sweep kernel skip most
+    clusters per block (the reference gets the same locality from its
+    16x8 thread groups and 512^2 dispatch tiles,
+    MegakernelPathTracer.cpp:19-20,131-157). Measured on the 212k-tri
+    sphere grid (experiments/prof_tileshape.py): 32x32 sweeps 37%
+    fewer clusters per camera-ray block than the old 8x128 layout
+    (12.65 -> 7.99 swept/ray, closest 42.1 -> 49.1 Mrays/s); width
+    >128 collapses (a 1024-ray block then spans two tile rows with a
+    disjoint footprint).
 
     Returns (px, py, inv) with values[inv] mapping tile-order results back
     to raster order.
