@@ -306,7 +306,7 @@ def brute_any_pallas(scene, origin, direction, t_max, t_min=0.0,
 # ~390 ns against a 35 ns/step null grid, so testing 1024 clusters per
 # block in-kernel burns 400 us/block regardless of geometry. Precomputing
 # the masks vectorized drops the per-step cost to a scalar read; with
-# 8x128-pixel tile ray order, typical blocks enter ~1-2 clusters.
+# square-tile ray order, typical blocks enter ~1-2 clusters.
 
 from .cluster import CLUSTER_SIZE  # noqa: E402
 

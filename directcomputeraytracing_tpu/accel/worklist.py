@@ -57,7 +57,7 @@ Work-item encoding (scalar-prefetched to SMEM):
     sup      (cap,) i32: supercluster id (index-maps the box+slab DMA)
     t_ent    (cap,) f32: item entry distance (front-to-back key)
 
-Rays must arrive in compact-frustum order (8x128 pixel tiles): a
+Rays must arrive in compact-frustum order (square pixel tiles): a
 raster-order 1024-ray bundle spans the image and measured ~10x slower.
 Capacities are static; a `lax.cond` falls back to the dense
 masked-sweep kernel when a dispatch's true item count overflows —

@@ -83,7 +83,7 @@ class Renderer:
         self.post_params = post_params or PostParams()
         self.film = create_film(height, width)
         self.spp = 0
-        # On TPU, trace rays in 8x128 pixel tiles: compact per-block
+        # On TPU, trace rays in 32x32 pixel tiles: compact per-block
         # frustums let the clustered kernel skip most clusters. One
         # inverse-permutation gather per sample pass restores raster
         # order for the film.
@@ -231,7 +231,7 @@ class Renderer:
         (H/scale, W/scale, 3) linear image; does not touch the film.
         Repeated calls at the same scale hit the jit cache (the rebuilt
         RenderConfig is a frozen dataclass — equal values, equal jit
-        key); pixels trace in 8x128 tile order on TPU like the main
+        key); pixels trace in square-tile order on TPU like the main
         path (raster-order bundles measured ~10x slower)."""
         from .megakernel import render_samples, tiled_frame_pixels
 

@@ -7,7 +7,7 @@ across chips:
 
   * "tile" axis  — the frame is split into contiguous raster ROW BANDS,
     one per device; each chip traverses the replicated scene for its own
-    band. Within its band every chip re-orders pixels into 8x128 tiles
+    band. Within its band every chip re-orders pixels into 32x32 tiles
     before tracing (device-local permutation — the work-list traversal
     needs compact per-bundle frustums; raster-order bundles measured
     ~10x slower) and restores raster order before touching the film.
@@ -68,9 +68,11 @@ def band_rows(cfg, mesh):
     return (cfg.height + t - 1) // t
 
 
-def _band_tile_perm(hb, w, tile_h=8, tile_w=128):
-    """Device-local 8x128 tile permutation for an (hb, w) band:
-    (perm, inv) with band_raster[perm] = tile order."""
+def _band_tile_perm(hb, w, tile_h=32, tile_w=32):
+    """Device-local square-tile permutation for an (hb, w) band:
+    (perm, inv) with band_raster[perm] = tile order. 32x32 tiles (one
+    1024-ray kernel block per tile) measured the most compact block
+    frustums (docs/PERF.md); ragged band edges clip the tile."""
     order = np.empty(hb * w, np.int64)
     pos = 0
     for ty in range(0, hb, tile_h):
