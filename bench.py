@@ -282,13 +282,17 @@ def standin_metrics():
     # coherence batching, the reference's own progressive
     # accumulation loop at LaunchRendererLoop.cpp:206-237)
     if time.perf_counter() - _T_START < 14 * 60:
-        r = Renderer(scene, cam, width=1920, height=1080,
-                     max_bounce=4, any_hit=True, integrator="wavefront")
-        r.render(spp=8)  # compile + 8 spp
-        t0 = time.perf_counter()
-        r.render(spp=8)
-        out["standin1080p_wavefront_ms_per_spp"] = (
-            (time.perf_counter() - t0) * 1e3 / 8.0)
+        try:
+            r = Renderer(scene, cam, width=1920, height=1080,
+                         max_bounce=4, any_hit=True,
+                         integrator="wavefront")
+            r.render(spp=8)  # compile + 8 spp
+            t0 = time.perf_counter()
+            r.render(spp=8)
+            out["standin1080p_wavefront_ms_per_spp"] = (
+                (time.perf_counter() - t0) * 1e3 / 8.0)
+        except Exception as e:  # keep the rmse row on a 1080p fault
+            out["standin1080p_error"] = repr(e)[:200]
     else:
         out["standin1080p_wavefront_ms_per_spp"] = -1.0  # budget skip
     return out
