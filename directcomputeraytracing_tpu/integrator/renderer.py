@@ -132,12 +132,14 @@ class Renderer:
                     self.arrays, self.luts, self.camera, self.cfg, px,
                     py, jnp.uint32(frame_seed))
         else:
-            from .wavefront import render_samples_wavefront
+            from .wavefront import render_samples_wavefront, tunnel_paced
 
             # big frames stream in bounded dispatches (reference
             # IterationPerFrame parity; also keeps each dispatch under
-            # the axon tunnel's duration limit, docs/KNOWN_ISSUES.md)
-            chunked = 16 if px.shape[0] > (1 << 17) else None
+            # the axon tunnel's occupancy limit, docs/KNOWN_ISSUES.md —
+            # paced tunnels need shorter dispatches + idle gaps)
+            chunked = ((8 if tunnel_paced() else 16)
+                       if px.shape[0] > (1 << 17) else None)
             pos, values = render_samples_wavefront(
                 self.arrays, self.luts, self.camera, self.cfg, px, py,
                 jnp.uint32(frame_seed), iterations_per_dispatch=chunked)
@@ -172,14 +174,16 @@ class Renderer:
         remaining = spp
         while remaining > 0:
             if can_fuse_wf and remaining >= fuse:
-                from .wavefront import render_samples_wavefront
+                from .wavefront import render_samples_wavefront, \
+                    tunnel_paced
 
                 # spp_batch interleaves the samples in one pool pass:
                 # same-pixel rays share bundles (the coherence lever)
                 # and the radiance sum is bit-identical to sequential
                 # passes (lane seed = self.spp + sample index)
                 RT = self._px.shape[0] * fuse
-                chunked = 16 if RT > (1 << 17) else None
+                chunked = ((8 if tunnel_paced() else 16)
+                           if RT > (1 << 17) else None)
                 _, total = render_samples_wavefront(
                     self.arrays, self.luts, self.camera, self.cfg,
                     self._px, self._py, jnp.uint32(self.spp),

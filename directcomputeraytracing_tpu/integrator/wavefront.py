@@ -22,6 +22,9 @@ integrators mutual oracles at a fixed seed — the reference relies on the
 same property (Samples.inc.hlsl:59-70 counter seeding).
 """
 
+import os as _os
+import time
+
 from functools import partial
 from typing import NamedTuple
 
@@ -113,13 +116,37 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
     RT = pixel_x.shape[0] * spp_batch
     state = _init_state(scene, luts, cam, cfg, pixel_x, pixel_y,
                         frame_seed, pool_size, spp_batch)
+    pause = dispatch_pause_s()
     while True:
         state = _chunk(scene, luts, cam, cfg, pixel_x, pixel_y,
                        frame_seed, state, pool_size,
                        int(iterations_per_dispatch), spp_batch)
         if not (int(state.cursor) < RT or bool(jnp.any(state.busy))):
             break
+        if pause:
+            # through the axon tunnel the chip must go IDLE between
+            # dispatches: back-to-back ~55 s dispatches (readback-only
+            # gaps) kill the worker after ~400 s of continuous
+            # occupancy, while the same sequence with short host
+            # sleeps completes (docs/KNOWN_ISSUES.md, measured on the
+            # 1080p stand-in drain)
+            time.sleep(pause)
     return state.out_pos, state.out_val
+
+
+def tunnel_paced():
+    """True when dispatches run through the axon TPU tunnel, whose
+    watchdog kills the worker after ~400 s of CONTINUOUS device
+    occupancy (docs/KNOWN_ISSUES.md) — host loops must then bound
+    per-dispatch wall time AND leave idle gaps between dispatches."""
+    return "axon" in _os.environ.get("JAX_PLATFORMS", "")
+
+
+def dispatch_pause_s():
+    """Idle gap to insert between chunked dispatches (0 off-tunnel)."""
+    if not tunnel_paced():
+        return 0.0
+    return float(_os.environ.get("DCRT_DISPATCH_PAUSE_S", "2.0"))
 
 
 @partial(jax.jit, static_argnames=("cfg", "pool_size", "spp_batch"))
