@@ -10,20 +10,43 @@ shadow raycast kernels, reference: Source/WavefrontPathTracer.cpp:
 north star is >=100 Mrays/sec two-level traversal per TPU chip, so
 vs_baseline = value / 100.
 
-Extras: per-scene closest/any breakdown (36k + 212k tris), Cornell
-256^2 full-path spp/sec + time-to-16spp with the real Kulla-Conty LUTs,
-and the 212k-tri Mitsuba-XML stand-in (BASELINE.md headline row):
-1080p megakernel ms/spp and a megakernel-vs-wavefront RMSE gate at a
-reduced size.
+Deadline-proofing (round-3 postmortem: the driver run timed out with
+rc=124 and recorded ZERO numbers): all rows run on a worker thread that
+posts each result into a shared dict the moment it lands; the main
+thread enforces a global wall-clock budget (DCRT_BENCH_BUDGET_S,
+default 2100 s) and prints the single JSON line from whatever has been
+collected — even if a row hangs mid-dispatch (wedged tunnel, endless
+compile) — then hard-exits. Rows are ordered cheapest/most-important
+first and each is gated on remaining budget; skipped rows are marked in
+`extra` as "skipped_<reason>".
 """
 
 import json
+import os
 import tempfile
+import threading
 import time
 
 import numpy as np
 
 _T_START = time.perf_counter()
+_BUDGET_S = float(os.environ.get("DCRT_BENCH_BUDGET_S", "2100"))
+# margin the watchdog keeps for serializing + printing the JSON line
+_PRINT_MARGIN_S = 20.0
+
+_results = {}          # shared: row name -> value (worker thread writes)
+_results_lock = threading.Lock()
+_done = threading.Event()
+
+
+def _post(d):
+    with _results_lock:
+        _results.update({k: (round(v, 4) if isinstance(v, float) else v)
+                         for k, v in d.items()})
+
+
+def _remaining():
+    return _BUDGET_S - (time.perf_counter() - _T_START)
 
 
 def _timed(fn, reps=3):
@@ -36,7 +59,7 @@ def _timed(fn, reps=3):
     return best
 
 
-def traversal_metrics():
+def traversal_metrics(include_1m):
     import jax
     import jax.numpy as jnp
 
@@ -54,12 +77,17 @@ def traversal_metrics():
     from directcomputeraytracing_tpu.scene.presets import sphere_grid
     from directcomputeraytracing_tpu.scene.scene import flatten_scene
 
-    out = {}
     # 1.07M instanced triangles (27x27 spheres) exercises the
     # BLAS-sharing instanced work-list path past the 2^20 world-soup
-    # budget (VERDICT r2 #3); smaller ray count bounds its runtime
-    for label, n, w in (("36k", 5, 2048), ("212k", 12, 2048),
-                        ("1M", 27, 1024)):
+    # budget; smaller ray count bounds its runtime. It runs LAST of the
+    # traversal rows (the headline only needs 36k + 212k).
+    rows = [("36k", 5, 2048), ("212k", 12, 2048)]
+    if include_1m:
+        rows.append(("1M", 27, 1024))
+    for label, n, w in rows:
+        if label == "1M" and _remaining() < 240:
+            _post({"skipped_1M": "budget"})
+            break
         scene, cam = sphere_grid(n, n)
         arrays, meta = flatten_scene(scene)
         if label == "1M":
@@ -110,33 +138,25 @@ def traversal_metrics():
         # tunnel block_until_ready alone under-reports
         t_ext = _timed(lambda: float(ext(o, d)))
         t_shd = _timed(lambda: float(shadow(o, d)))
-        out[f"mrays_{label}_closest"] = nrays / t_ext / 1e6
-        out[f"mrays_{label}_any"] = nrays / t_shd / 1e6
-        out[f"mrays_{label}_combined"] = 2 * nrays / (t_ext + t_shd) / 1e6
-        # (distance-slab A/B rows removed: measured 9x SLOWER than the
-        # single cast on coherent camera rays on the real chip —
-        # 5.5 vs 50.1 Mrays/s, experiments/prof_slab.py, docs/PERF.md —
-        # so the marched cast stays opt-in for incoherent pools only)
+        _post({f"mrays_{label}_closest": nrays / t_ext / 1e6,
+               f"mrays_{label}_any": nrays / t_shd / 1e6,
+               f"mrays_{label}_combined":
+                   2 * nrays / (t_ext + t_shd) / 1e6})
         del arrays
-    return out
 
 
 def kernel_check_metrics():
-    """Compiled-on-hardware kernel correctness gate (VERDICT r2 #4):
-    the pallas_wl / pallas_cluster kernels vs the `brute` dense sweep
-    on the driver's device. Interpret mode is a proven-insufficient
+    """Compiled-on-hardware kernel correctness gate: the pallas_wl /
+    pallas_cluster / pallas_pair kernels vs the `brute` dense sweep on
+    the driver's device. Interpret mode is a proven-insufficient
     oracle (a K=4 dot_general formulation passed interpret and
     miscompiled on the chip); `brute` intersects the SAME world-space
-    triangle soup, so agreement must be exact (the local-space stack
-    walker differs by fp formulation noise on grazing rays). The
-    instanced BLAS-sharing kernels are checked the same way on a
-    re-flattened copy of the scene (DCRT_INSTANCED=1). The reference's
-    analogue is its CPU TraceRay vs GPU agreement
-    (Source/SceneRayTrace.cpp:58-208)."""
-    import os
-
+    triangle soup, so agreement must be exact. The instanced
+    BLAS-sharing kernels are checked the same way on a re-flattened
+    copy of the scene (DCRT_INSTANCED=1). The reference's analogue is
+    its CPU TraceRay vs GPU agreement (Source/SceneRayTrace.cpp:58-208).
+    """
     import jax.numpy as jnp
-    import numpy as np
 
     from directcomputeraytracing_tpu.accel.traverse import (
         intersect_any, intersect_closest,
@@ -178,16 +198,14 @@ def kernel_check_metrics():
         rel /= np.maximum(np.asarray(ref_c.t)[both], 1e-6)
         mism += int(m_hit.sum()) + int((rel > 1e-3).sum())
         mism += int((np.asarray(ha) != np.asarray(ref_a)).sum())
-    return {"tpu_kernel_check_mismatches": float(mism)}
+    _post({"tpu_kernel_check_mismatches": float(mism)})
 
 
 def image_oracle_metrics():
-    """Independent-oracle image gate (VERDICT r2 #8): the default
-    renderer vs a brute-force-traversal render of the same scene at a
-    fixed seed. Unlike the megakernel-vs-wavefront row this crosses
-    traversal implementations, so it can actually fail."""
-    import numpy as np
-
+    """Independent-oracle image gate: the default renderer vs a
+    brute-force-traversal render of the same scene at a fixed seed.
+    Unlike the megakernel-vs-wavefront row this crosses traversal
+    implementations, so it can actually fail."""
     from directcomputeraytracing_tpu.integrator.renderer import Renderer
     from directcomputeraytracing_tpu.scene.presets import cornell_box
 
@@ -198,11 +216,10 @@ def image_oracle_metrics():
                      traversal_backend=backend)
         img[backend] = np.asarray(r.render(spp=4, seed_mode="fixed"))
     rmse = float(np.sqrt(np.mean((img["auto"] - img["brute"]) ** 2)))
-    return {"render_vs_brute_rmse": rmse}
+    _post({"render_vs_brute_rmse": rmse})
 
 
 def cornell_metrics():
-    import jax
     import jax.numpy as jnp
 
     from directcomputeraytracing_tpu.integrator.common import RenderConfig
@@ -239,20 +256,31 @@ def cornell_metrics():
         sample(jnp.uint32(100 + done))
         done += fuse
     t16 = time.perf_counter() - t0
-    return {"cornell256_spp_per_sec": spp_sec,
-            "cornell256_time_to_16spp_s": t16}
+    _post({"cornell256_spp_per_sec": spp_sec,
+           "cornell256_time_to_16spp_s": t16})
 
 
-def standin_metrics():
-    """BASELINE.md headline row: the 212k-tri Mitsuba XML stand-in at
-    1080p through the WAVEFRONT integrator (the reference's headline
-    backend; its fixed path pool also caps in-flight recast rays —
-    megakernel alpha at >=518k rays x >=3 bounces crashes the axon TPU
-    worker, see docs/KNOWN_ISSUES), plus a megakernel-vs-wavefront RMSE
-    gate at a reduced size (the two integrators are mutual oracles)."""
-    import jax.numpy as jnp
+def standin_small_metrics():
+    """Megakernel-vs-wavefront RMSE gate on the 212k-tri Mitsuba XML
+    stand-in at a reduced size (the two integrators are mutual
+    oracles; BASELINE.md headline scene)."""
+    scene, cam = _standin_scene()
+    rm = _Renderer()(scene, cam, width=256, height=144, max_bounce=3,
+                     any_hit=True)
+    rw = _Renderer()(scene, cam, width=256, height=144, max_bounce=3,
+                     any_hit=True, integrator="wavefront")
+    im = np.asarray(rm.render(spp=8, seed_mode="fixed"))
+    iw = np.asarray(rw.render(spp=8, seed_mode="fixed"))
+    _post({"standin_rmse_mk_vs_wf":
+           float(np.sqrt(np.mean((im - iw) ** 2)))})
 
+
+def _Renderer():
     from directcomputeraytracing_tpu.integrator.renderer import Renderer
+    return Renderer
+
+
+def _standin_scene():
     from directcomputeraytracing_tpu.scene.standin import (
         write_standin_scene,
     )
@@ -263,72 +291,107 @@ def standin_metrics():
     with tempfile.TemporaryDirectory() as d:
         xml = write_standin_scene(d)
         scene, settings = load_mitsuba_xml(xml)
-    cam = settings.camera
-
-    out = {}
-    rm = Renderer(scene, cam, width=256, height=144, max_bounce=3,
-                  any_hit=True)
-    rw = Renderer(scene, cam, width=256, height=144, max_bounce=3,
-                  any_hit=True, integrator="wavefront")
-    im = np.asarray(rm.render(spp=8, seed_mode="fixed"))
-    iw = np.asarray(rw.render(spp=8, seed_mode="fixed"))
-    out["standin_rmse_mk_vs_wf"] = float(
-        np.sqrt(np.mean((im - iw) ** 2)))
-
-    # the 1080p wavefront compile alone runs ~5 min cold; only spend
-    # that when the run still has budget. The headline config is
-    # progressive 1024 spp, so the per-spp rate is measured the way
-    # it renders: 8 samples interleaved per pool pass (spp_batch
-    # coherence batching, the reference's own progressive
-    # accumulation loop at LaunchRendererLoop.cpp:206-237)
-    if time.perf_counter() - _T_START < 14 * 60:
-        try:
-            r = Renderer(scene, cam, width=1920, height=1080,
-                         max_bounce=4, any_hit=True,
-                         integrator="wavefront")
-            r.render(spp=8)  # compile + 8 spp
-            t0 = time.perf_counter()
-            r.render(spp=8)
-            out["standin1080p_wavefront_ms_per_spp"] = (
-                (time.perf_counter() - t0) * 1e3 / 8.0)
-        except Exception as e:  # keep the rmse row on a 1080p fault
-            out["standin1080p_error"] = repr(e)[:200]
-    else:
-        out["standin1080p_wavefront_ms_per_spp"] = -1.0  # budget skip
-    return out
+    return scene, settings.camera
 
 
-def main():
-    import os
+def standin_1080p_metrics():
+    """BASELINE.md headline row: the 212k-tri stand-in at 1080p through
+    the WAVEFRONT integrator (the reference's headline backend; its
+    fixed path pool also caps in-flight recast rays). The per-spp rate
+    is measured the way the headline config renders: 8 samples
+    interleaved per pool pass (spp_batch coherence batching, the
+    reference's progressive accumulation loop at
+    LaunchRendererLoop.cpp:206-237). The FIRST render call (compile +
+    8 spp) is untimed warm-up; the second is the measurement."""
+    scene, cam = _standin_scene()
+    r = _Renderer()(scene, cam, width=1920, height=1080,
+                    max_bounce=4, any_hit=True, integrator="wavefront")
+    r.render(spp=8)  # compile + warm-up
+    _post({"standin1080p_compile_warm_s":
+           time.perf_counter() - _T_START})
+    if _remaining() < 120:
+        _post({"skipped_1080p_timing": "budget_after_warmup"})
+        return
+    t0 = time.perf_counter()
+    r.render(spp=8)
+    _post({"standin1080p_wavefront_ms_per_spp":
+           (time.perf_counter() - t0) * 1e3 / 8.0})
 
+
+def _worker():
     import jax
 
-    # persistent compile cache: repeat bench/render runs skip the
-    # multi-minute XLA compiles
-    cache = os.path.join(tempfile.gettempdir(), "dcrt_jaxcache")
+    # durable persistent compile cache: repeat bench/render runs skip
+    # the multi-minute XLA compiles. Anchored next to this file (the
+    # repo), not /tmp, so driver runs find the cache primed by this
+    # round's own runs.
+    cache = os.environ.get(
+        "DCRT_JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_compile_cache"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
 
-    extra = {"device": str(jax.devices()[0].platform)}
-    tm = traversal_metrics()
-    extra.update({k: round(v, 3) for k, v in tm.items()})
-    for fn in (kernel_check_metrics, image_oracle_metrics,
-               cornell_metrics, standin_metrics):
+    _post({"device": str(jax.devices()[0].platform),
+           "budget_s": _BUDGET_S})
+
+    # Ordered cheapest/most-important first. Each row is budget-gated
+    # and exception-isolated so one fault never erases earlier rows.
+    rows = [
+        ("traversal", lambda: traversal_metrics(include_1m=False), 60),
+        ("cornell", cornell_metrics, 60),
+        ("oracle", image_oracle_metrics, 60),
+        ("kernel_check", kernel_check_metrics, 90),
+        ("traversal_1m", lambda: traversal_metrics(include_1m=True), 240),
+        ("standin_small", standin_small_metrics, 180),
+        # 1080p wavefront: compile ~5 min + 16 spp; give it the rest of
+        # the budget but only start with >=14 min in hand
+        ("standin_1080p", standin_1080p_metrics, 840),
+    ]
+    for name, fn, min_budget in rows:
+        if name == "traversal_1m" and "mrays_1M_combined" in _results:
+            continue
+        if _remaining() < min_budget:
+            _post({f"skipped_{name}": "budget"})
+            continue
         try:
-            extra.update({k: round(v, 4) for k, v in fn().items()})
-        except Exception as e:  # never lose the headline line
-            extra[f"{fn.__name__}_error"] = repr(e)[:200]
-    headline = tm["mrays_212k_combined"]
+            fn()
+        except Exception as e:   # never lose earlier rows
+            _post({f"{name}_error": repr(e)[:200]})
+    _done.set()
+
+
+def _print_line():
+    with _results_lock:
+        extra = dict(_results)
+    headline = extra.get("mrays_212k_combined", 0.0)
+    extra["wall_s"] = round(time.perf_counter() - _T_START, 1)
     print(json.dumps({
         "metric": "bvh_traversal_mrays_per_sec",
         "value": round(float(headline), 3),
         "unit": "Mrays/s",
         "vs_baseline": round(float(headline) / 100.0, 4),
         "extra": extra,
-    }))
+    }), flush=True)
+
+
+def main():
+    worker = threading.Thread(target=_worker, daemon=True)
+    worker.start()
+    # Watchdog: even if a row hangs inside a C call (wedged tunnel,
+    # stuck compile), this main thread still wakes up, prints the one
+    # JSON line from whatever has landed, and hard-exits before the
+    # driver's timeout can strike (the round-3 failure mode).
+    _done.wait(timeout=max(_BUDGET_S - _PRINT_MARGIN_S, 5.0))
+    if not _done.is_set():
+        _post({"watchdog": "budget_expired_mid_row"})
+    _print_line()
+    os._exit(0)
 
 
 if __name__ == "__main__":

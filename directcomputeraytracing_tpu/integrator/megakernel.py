@@ -323,7 +323,22 @@ def render_samples_chunked(scene, luts, cam, cfg, pixel_x, pixel_y,
                               pyp[i:i + chunk_pixels], frame_seed)
         pos.append(p)
         val.append(v)
+        _pace_chunk(v)
     return (jnp.concatenate(pos)[:R], jnp.concatenate(val)[:R])
+
+
+def _pace_chunk(x):
+    """Idle-gap pacing between back-to-back megakernel chunk
+    dispatches: the tunnel watchdog kills ~400 s of CONTINUOUS
+    occupancy even when each single dispatch is bounded
+    (docs/KNOWN_ISSUES.md) — the chip must go genuinely idle between
+    dispatches. Zero cost off-tunnel (no sync, no sleep)."""
+    from .wavefront import dispatch_pause_s
+    pause = dispatch_pause_s()
+    if pause:
+        import time
+        jax.block_until_ready(x)
+        time.sleep(pause)
 
 
 def render_samples_accumulated_chunked(scene, luts, cam, cfg, pixel_x,
@@ -342,6 +357,7 @@ def render_samples_accumulated_chunked(scene, luts, cam, cfg, pixel_x,
         parts.append(render_samples_accumulated(
             scene, luts, cam, cfg, pxp[i:i + chunk_pixels],
             pyp[i:i + chunk_pixels], base_seed, n_samples))
+        _pace_chunk(parts[-1])
     return jnp.concatenate(parts)[:R]
 
 
@@ -367,6 +383,12 @@ def tiled_frame_pixels(cfg: RenderConfig, tile_h=32, tile_w=32):
     (12.65 -> 7.99 swept/ray, closest 42.1 -> 49.1 Mrays/s); width
     >128 collapses (a 1024-ray block then spans two tile rows with a
     disjoint footprint).
+
+    Frame edges not divisible by the tile size produce clipped tiles
+    (e.g. 1080/32 leaves a 24-row bottom band), so blocks there
+    straddle two clipped tiles instead of mapping 1:1 onto one square
+    tile — a perf-only ragged-edge effect, results are exact either
+    way.
 
     Returns (px, py, inv) with values[inv] mapping tile-order results back
     to raster order.

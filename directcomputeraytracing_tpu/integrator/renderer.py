@@ -137,9 +137,12 @@ class Renderer:
             # big frames stream in bounded dispatches (reference
             # IterationPerFrame parity; also keeps each dispatch under
             # the axon tunnel's occupancy limit, docs/KNOWN_ISSUES.md —
-            # paced tunnels need shorter dispatches + idle gaps)
-            chunked = ((8 if tunnel_paced() else 16)
-                       if px.shape[0] > (1 << 17) else None)
+            # paced tunnels need shorter dispatches + idle gaps).
+            # On the tunnel EVERY frame runs chunked: a slow sub-131k-
+            # pixel alpha scene can still exceed the dispatch limit in
+            # one fused unbounded-iteration dispatch.
+            chunked = (8 if tunnel_paced()
+                       else (16 if px.shape[0] > (1 << 17) else None))
             pos, values = render_samples_wavefront(
                 self.arrays, self.luts, self.camera, self.cfg, px, py,
                 jnp.uint32(frame_seed), iterations_per_dispatch=chunked)
@@ -182,8 +185,8 @@ class Renderer:
                 # and the radiance sum is bit-identical to sequential
                 # passes (lane seed = self.spp + sample index)
                 RT = self._px.shape[0] * fuse
-                chunked = ((8 if tunnel_paced() else 16)
-                           if RT > (1 << 17) else None)
+                chunked = (8 if tunnel_paced()
+                           else (16 if RT > (1 << 17) else None))
                 _, total = render_samples_wavefront(
                     self.arrays, self.luts, self.camera, self.cfg,
                     self._px, self._py, jnp.uint32(self.spp),

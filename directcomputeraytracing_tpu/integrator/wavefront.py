@@ -138,8 +138,19 @@ def tunnel_paced():
     """True when dispatches run through the axon TPU tunnel, whose
     watchdog kills the worker after ~400 s of CONTINUOUS device
     occupancy (docs/KNOWN_ISSUES.md) — host loops must then bound
-    per-dispatch wall time AND leave idle gaps between dispatches."""
-    return "axon" in _os.environ.get("JAX_PLATFORMS", "")
+    per-dispatch wall time AND leave idle gaps between dispatches.
+
+    Gated on the RESOLVED backend, not just the env var: tests (and
+    any in-process platform redirect) run on a virtual CPU mesh while
+    JAX_PLATFORMS still says "axon" in the shell env — those runs must
+    not pay real host sleeps per dispatch."""
+    if "axon" not in _os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return True  # can't resolve: assume tunnel, pacing is cheap
 
 
 def dispatch_pause_s():

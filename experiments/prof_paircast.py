@@ -67,6 +67,13 @@ def bench(label, fn, reps=4):
     return best
 
 
+# pallas_pair silently resolves to pallas_wl for instanced/tiny scenes
+# (traverse._resolve_backend) — make sure this A/B compares what it
+# claims to compare
+from directcomputeraytracing_tpu.accel import pairsweep
+assert not pairsweep._instanced(arrays), \
+    "scene flattened to instanced tables; pallas_pair would be rewritten"
+
 for bk in ("pallas_wl", "pallas_pair"):
     @jax.jit
     def cl(o=o, d=d, bk=bk):
