@@ -110,6 +110,7 @@ def test_shadow_density_tracks_opacity():
     assert img_half.mean() > img_opaque.mean() * 1.1
 
 
+@pytest.mark.slow
 def test_wavefront_matches_megakernel_with_alpha():
     a, _ = _render(0.5, "megakernel", spp=4, seed0=11)
     b, _ = _render(0.5, "wavefront", spp=4, seed0=11)
@@ -246,6 +247,7 @@ def test_opacity_edit_drops_split(split_scene):
     assert (np.asarray(a) == np.asarray(b)).mean() > 0.99
 
 
+@pytest.mark.slow
 def test_split_t_cap_window_contract(split_scene):
     """t_cap through the opaque/masked split path (slab marching):
     capped hits strictly below the cap match the full alpha-tested

@@ -56,6 +56,7 @@ def test_distributed_wavefront_matches_single_device(setup):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_distributed_filtered_film_matches_single_device(setup):
     """The halo-exchange distributed convolution must reproduce the
     single-device filtered film across band seams."""
@@ -73,6 +74,7 @@ def test_distributed_filtered_film_matches_single_device(setup):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_tile_order_identical(setup):
     """The device-local tile permutation must not change the image."""
     scene, cam = setup
@@ -135,6 +137,7 @@ def test_initialize_distributed_routing(monkeypatch):
     assert calls[-1] == ("10.0.0.9:99", 8, 3)
 
 
+@pytest.mark.slow
 def test_distributed_wavefront_spp_batch_matches_single(setup):
     """spp-sharded + spp_batch: an (spp=2, tile=4) mesh step with
     spp_batch=2 must equal 4 sequential single-device samples (replica

@@ -108,6 +108,7 @@ def test_update_emitter_radiance():
                                   np.asarray(arrays.light_radiance))
 
 
+@pytest.mark.slow
 def test_renderer_edit_equals_fresh_renderer():
     """An edited renderer renders EXACTLY what a renderer built from
     the edited scene renders (same seeds), with no re-flatten."""

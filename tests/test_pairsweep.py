@@ -59,6 +59,7 @@ def test_pair_anyhit_matches(grid_scene):
     np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
 
 
+@pytest.mark.slow
 def test_pair_watertight_matches(grid_scene):
     arrays, meta = grid_scene
     o, d = _rays(256, seed=3)
@@ -73,6 +74,7 @@ def test_pair_watertight_matches(grid_scene):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pair_alpha_recast_matches(grid_scene):
     arrays, meta = grid_scene
     o, d = _rays(256, seed=4)
@@ -97,6 +99,7 @@ def test_pair_alpha_recast_matches(grid_scene):
     np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_a))
 
 
+@pytest.mark.slow
 def test_pair_t_cap_window_contract(grid_scene):
     """A capped pair cast must report every hit strictly below the cap
     (per-ray caps included) and decode anything at/above it as a
@@ -118,6 +121,7 @@ def test_pair_t_cap_window_contract(grid_scene):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pair_slab_helper_matches_single_cast(grid_scene):
     arrays, meta = grid_scene
     o, d = _rays(512, seed=6)
@@ -132,6 +136,7 @@ def test_pair_slab_helper_matches_single_cast(grid_scene):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pair_layout_invariants(grid_scene):
     """Every emitted enter bit maps to exactly one pair slot whose ray
     and super decode back to the bit's (block, lane, item super)."""

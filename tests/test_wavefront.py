@@ -111,6 +111,7 @@ def test_sorted_pool_matches_unsorted():
     np.testing.assert_array_equal(np.asarray(val_a), np.asarray(val_b))
 
 
+@pytest.mark.slow
 def test_megakernel_pixel_chunking_is_identical():
     """Tile-chunked megakernel dispatches (the reference's 512^2 tile
     round-robin) must be bit-identical to the whole-frame dispatch."""
@@ -146,6 +147,7 @@ def test_megakernel_pixel_chunking_is_identical():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_spp_batch_equals_sequential_sum():
     """spp_batch=S in one pool pass must reproduce the SUM of S
     sequential progressive passes bit-for-bit (lane seed = base + s is
@@ -169,6 +171,7 @@ def test_spp_batch_equals_sequential_sum():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spp_batch_chunked_matches_fused():
     scene, cam = cornell_box(light="area")
     arrays, meta = flatten_scene(scene)
