@@ -30,6 +30,8 @@ Both entry points are shape-static and jit-friendly:
   intersect_any     — boolean occlusion query with early termination.
 """
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -577,6 +579,14 @@ def _alpha_recast(scene, origin, direction, first_floor, opacity_u,
 
 
 def _resolve_backend(scene, backend):
+    if backend.startswith("pallas_wlg"):
+        # grouped sweep v1 reads the world-soup cluster tables;
+        # instanced / tiny scenes ride the bundle work-list
+        if (scene.isup_inst.shape[0] > 1
+                or scene.cluster_bbox.shape[0] <= 1):
+            backend = ("pallas_wl_interpret"
+                       if backend.endswith("interpret") else "pallas_wl")
+        return backend
     if backend.startswith("pallas_pair"):
         # the pair-expanded sweep v1 needs the world-soup cluster
         # tables: instanced or tiny scenes ride the bundle work-list
@@ -606,7 +616,8 @@ def _resolve_backend(scene, backend):
 
 _PALLAS_BACKENDS = ("pallas", "pallas_interpret", "pallas_cluster",
                     "pallas_cluster_interpret", "pallas_wl",
-                    "pallas_wl_interpret", "pallas_pair",
+                    "pallas_wl_interpret", "pallas_wlg",
+                    "pallas_wlg_interpret", "pallas_pair",
                     "pallas_pair_interpret")
 
 
@@ -671,7 +682,11 @@ def intersect_closest(scene, origin, direction, stack_size, t_min=0.0,
         if backend.startswith("pallas_pair"):
             from .pairsweep import pair_closest_pallas as cast
         elif is_wl:
-            from .worklist import worklist_closest_pallas as cast
+            from .worklist import worklist_closest_pallas
+            cast = (functools.partial(worklist_closest_pallas,
+                                      grouped=True)
+                    if backend.startswith("pallas_wlg")
+                    else worklist_closest_pallas)
         elif backend.startswith("pallas_cluster"):
             from .pallas_brute import clustered_closest_pallas as cast
         else:
@@ -874,8 +889,15 @@ def intersect_any(scene, origin, direction, t_max, stack_size, t_min=0.0,
             from .pairsweep import pair_any_pallas as cast_any
             from .pairsweep import pair_closest_pallas as cast_c
         elif backend.startswith("pallas_wl"):
-            from .worklist import worklist_any_pallas as cast_any
-            from .worklist import worklist_closest_pallas as cast_c
+            from .worklist import (worklist_any_pallas,
+                                   worklist_closest_pallas)
+            cast_any, cast_c = worklist_any_pallas, \
+                worklist_closest_pallas
+            if backend.startswith("pallas_wlg"):
+                cast_any = functools.partial(worklist_any_pallas,
+                                             grouped=True)
+                cast_c = functools.partial(worklist_closest_pallas,
+                                           grouped=True)
         elif backend.startswith("pallas_cluster"):
             from .pallas_brute import clustered_any_pallas as cast_any
             from .pallas_brute import clustered_closest_pallas as cast_c

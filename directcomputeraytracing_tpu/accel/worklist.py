@@ -91,6 +91,13 @@ PAIR = int(_os.environ.get("DCRT_WL_PAIR", "2"))
                              # clusters fused per sweep iteration (1|2)
 CAPM = int(_os.environ.get("DCRT_WL_CAPM", "16"))
                              # sweep items per block (capacity budget)
+GL = 128                     # lanes per sweep group (one vreg lane tile)
+GN = RB // GL                # groups per bundle (grouped sweep kernels)
+GROUP_CAPM = int(_os.environ.get("DCRT_WLG_CAPM", "192"))
+                             # grouped-sweep items per block: incoherent
+                             # pool bundles enter ~180 supers at 212k
+                             # tris (experiments/pair_econ.py), so the
+                             # grouped path budgets like the pair sweep
 _NOSEL = _os.environ.get("DCRT_WL_DEBUG_NOSEL") == "1"
                              # diagnostic: skip winner-attribute
                              # selection (WRONG results; isolates the
@@ -838,6 +845,251 @@ def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             term_scr[0] = jnp.min(occ_ref[0:1, :])
 
 
+# ---------------------------------------------------------------------------
+# Grouped sweep kernels: each 128-lane group pops its own nearest cluster
+# ---------------------------------------------------------------------------
+#
+# The bundle-synchronous sweep above pays one full 1024-lane step per
+# cluster entered by ANY ray of the bundle. Coherent camera bundles keep
+# those lanes busy; an incoherent (bounced-pool) bundle does not — the
+# round-3 sparsity census (experiments/analyze_sparsity.py) measured
+# each entered cluster needed by ~10 rays in ~1.9 of the bundle's eight
+# 128-lane groups, i.e. the dense step wastes ~75% of its vector work
+# and, worse, the bundle-max early-termination bound stays loose while
+# any one ray's best-t is far. These kernels restructure the per-item
+# loop so every GROUP (one vreg lane tile) maintains its own
+# front-to-back cluster worklist, pops its own nearest remaining
+# cluster each iteration (a static Python unroll over GN groups —
+# per-group (CLUSTER_SIZE, GL) ops are exactly 1/GN of the dense step's
+# vregs, so the vector cost of a step scales with the number of LIVE
+# groups), and terminates on its own 128-lane bound. Groups that never
+# entered the item's super, exhausted their clusters, or beat their
+# bound skip entirely under a scalar pl.when. The reference gets this
+# per-ray adaptivity from SIMT per-thread stacks (BVHAccel.inc.hlsl:
+# 85-232); a TPU lane cannot diverge, so divergence is rebuilt at
+# lane-group granularity instead.
+
+
+def _group_keys(enter, t_lo, key_scr):
+    """Per-group front-to-back cluster keys into the (SUPER, GN) key
+    scratch; returns the whole-item 'anything entered' scalar."""
+    iota = _iota_sup()
+    for g in range(GN):
+        sl = slice(g * GL, (g + 1) * GL)
+        t_g = jnp.min(jnp.where(enter[:, sl], t_lo[:, sl], BIG),
+                      axis=1, keepdims=True)            # (SUPER, 1)
+        key_scr[:, g:g + 1] = jnp.where(
+            t_g < BIG,
+            (jax.lax.bitcast_convert_type(t_g, I32) & ~_KEYM) | iota,
+            _INF_KEY)
+    return jnp.min(key_scr[:, :]) < _INF_KEY
+
+
+def _pop_pair_keys(key_scr):
+    """Pop the TWO nearest remaining clusters of EVERY group with two
+    vectorized column reductions (the per-group pick chain was the
+    grouped sweep's scalar bottleneck at ~2 reduces per group per
+    step). Returns ((1, GN) nearest keys, (1, GN) second keys)."""
+    keys = key_scr[:, :]
+    kv1 = jnp.min(keys, axis=0, keepdims=True)
+    keys2 = jnp.where(keys == kv1, _INF_KEY, keys)
+    kv2 = jnp.min(keys2, axis=0, keepdims=True)
+    key_scr[:, :] = jnp.where(keys2 == kv2, _INF_KEY, keys2)
+    return kv1, kv2
+
+
+def _pair_rows16():
+    rows = jax.lax.broadcasted_iota(I32, (2 * CLUSTER_SIZE, 1), 0)
+    return rows, rows & (CLUSTER_SIZE - 1)
+
+
+def _wlg_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref,
+                        slab_ref, od_ref, texp_ref, tmin_ref, out_ref,
+                        key_scr, term_scr, alive_scr):
+    i = pl.program_id(0)
+    item = bf_ref[i]
+    first = (item & 2) != 0
+    live = first | (term_scr[0] > tent_ref[i])
+
+    @pl.when(((item & 1) == 1) & live)
+    def _():
+        t_min = tmin_ref[0, 0]
+        rb = od_ref.shape[1]
+
+        @pl.when(first)
+        def _():
+            texp_bits = jax.lax.bitcast_convert_type(
+                texp_ref[0:1, :], I32) | _LOWM
+            out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                texp_bits, F32)
+            out_ref[1:2, :] = texp_ref[0:1, :]
+            for j in range(2, 8):
+                out_ref[j:j + 1, :] = jnp.zeros((1, rb), F32)
+            term_scr[0] = BIG
+
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, out_ref[0:1, :],
+                                  floor=t_min)
+        any0 = _group_keys(enter, t_lo, key_scr)
+        rows, rowmod = _pair_rows16()
+
+        def cond(c):
+            return (c[0] < SUPER) & (c[1] == 1)
+
+        def body(c):
+            r, _ = c
+            kv1, kv2 = _pop_pair_keys(key_scr)
+            alive_scr[0] = jnp.int32(0)
+            for g in range(GN):
+                sl = slice(g * GL, (g + 1) * GL)
+                k1 = kv1[0, g]
+
+                @pl.when(k1 < _INF_KEY)
+                def _(g=g, sl=sl, k1=k1):
+                    bnd_g = jnp.max(jax.lax.bitcast_convert_type(
+                        out_ref[0:1, sl], I32))
+
+                    @pl.when((k1 & ~_LOWM) < bnd_g)
+                    def _(g=g, sl=sl, k1=k1):
+                        alive_scr[0] = jnp.int32(1)
+                        k2 = kv2[0, g]
+                        c1 = k1 & _KEYM
+                        c2 = jnp.where(k2 < _INF_KEY, k2 & _KEYM, c1)
+                        tab = jnp.concatenate([
+                            slab_ref[pl.ds(c1 * CLUSTER_SIZE,
+                                           CLUSTER_SIZE), :],
+                            slab_ref[pl.ds(c2 * CLUSTER_SIZE,
+                                           CLUSTER_SIZE), :]], axis=0)
+                        t_b = out_ref[0:1, sl]
+                        t, u, v, back, ok = _isect_rows(
+                            tab, od_ref[0:1, sl], od_ref[1:2, sl],
+                            od_ref[2:3, sl], od_ref[3:4, sl],
+                            od_ref[4:5, sl], od_ref[5:6, sl], t_min,
+                            t_b, watertight=wt)
+                        lo = rows < CLUSTER_SIZE
+                        ok = ok & (lo | (k2 < _INF_KEY))
+                        child = jnp.where(lo, c1, c2)
+                        bits = ((jax.lax.bitcast_convert_type(t, I32)
+                                 & ~_LOWM) | ((child << 4) + rowmod))
+                        cand = jnp.where(ok, bits,
+                                         jnp.int32(0x7FFFFFFF))
+                        pmin = jnp.min(cand, axis=0, keepdims=True)
+                        best = jax.lax.bitcast_convert_type(t_b, I32)
+                        better = pmin < best
+
+                        @pl.when(jnp.any(better))
+                        def _(g=g, sl=sl):
+                            win = cand == pmin
+
+                            def pick(x):
+                                return jnp.sum(jnp.where(win, x, 0.0),
+                                               axis=0, keepdims=True)
+
+                            def sel(j, x):
+                                out_ref[j:j + 1, sl] = jnp.where(
+                                    better, pick(x),
+                                    out_ref[j:j + 1, sl])
+
+                            out_ref[0:1, sl] = \
+                                jax.lax.bitcast_convert_type(
+                                    jnp.where(better, pmin, best), F32)
+                            if not _NOSEL:
+                                mc = 9 if wt else 12
+                                sel(1, jnp.broadcast_to(t, cand.shape))
+                                sel(2, jnp.broadcast_to(u, cand.shape))
+                                sel(3, jnp.broadcast_to(v, cand.shape))
+                                sel(4, jnp.broadcast_to(
+                                    tab[:, mc:mc + 1], cand.shape))
+                                sel(5, jnp.broadcast_to(
+                                    tab[:, mc + 1:mc + 2], cand.shape))
+                                flipped = back ^ (
+                                    tab[:, mc + 2:mc + 3] > 0.5)
+                                sel(6, jnp.where(flipped, 1.0, 0.0))
+                        out_ref[7:8, sl] = out_ref[7:8, sl] + 2.0
+
+            return r + 2, alive_scr[0]
+
+        jax.lax.while_loop(cond, body,
+                           (jnp.int32(0), any0.astype(I32)))
+
+        @pl.when(any0)
+        def _():
+            term_scr[0] = jnp.max(out_ref[0:1, :])
+
+
+def _wlg_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
+                    od_ref, tmax_ref, tmin_ref, occ_ref, key_scr,
+                    term_scr, alive_scr):
+    i = pl.program_id(0)
+    item = bf_ref[i]
+    first = (item & 2) != 0
+    live = first | (term_scr[0] < 0.5)
+
+    @pl.when(((item & 1) == 1) & live)
+    def _():
+        t_min = tmin_ref[0, 0]
+        t_max = tmax_ref[0:1, :]
+        rb = od_ref.shape[1]
+
+        @pl.when(first)
+        def _():
+            occ_ref[0:1, :] = jnp.zeros((1, rb), F32)
+            term_scr[0] = F32(0.0)
+
+        cap_row = jnp.where(occ_ref[0:1, :] > 0.5, -BIG, t_max)
+        enter, t_lo = _fine_enter(cbox_ref, od_ref, cap_row,
+                                  floor=t_min)
+        any0 = _group_keys(enter, t_lo, key_scr)
+        rows, _ = _pair_rows16()
+
+        def cond(c):
+            return (c[0] < SUPER) & (c[1] == 1)
+
+        def body(c):
+            r, _ = c
+            kv1, kv2 = _pop_pair_keys(key_scr)
+            alive_scr[0] = jnp.int32(0)
+            for g in range(GN):
+                sl = slice(g * GL, (g + 1) * GL)
+                k1 = kv1[0, g]
+
+                @pl.when(k1 < _INF_KEY)
+                def _(g=g, sl=sl, k1=k1):
+                    unocc = jnp.min(occ_ref[0:1, sl]) < 0.5
+
+                    @pl.when(unocc)
+                    def _(g=g, sl=sl, k1=k1):
+                        alive_scr[0] = jnp.int32(1)
+                        k2 = kv2[0, g]
+                        c1 = k1 & _KEYM
+                        c2 = jnp.where(k2 < _INF_KEY, k2 & _KEYM, c1)
+                        tab = jnp.concatenate([
+                            slab_ref[pl.ds(c1 * CLUSTER_SIZE,
+                                           CLUSTER_SIZE), :],
+                            slab_ref[pl.ds(c2 * CLUSTER_SIZE,
+                                           CLUSTER_SIZE), :]], axis=0)
+                        _, _, _, _, ok = _isect_rows(
+                            tab, od_ref[0:1, sl], od_ref[1:2, sl],
+                            od_ref[2:3, sl], od_ref[3:4, sl],
+                            od_ref[4:5, sl], od_ref[5:6, sl], t_min,
+                            tmax_ref[0:1, sl], watertight=wt)
+                        ok = ok & ((rows < CLUSTER_SIZE)
+                                   | (k2 < _INF_KEY))
+                        occ_ref[0:1, sl] = jnp.maximum(
+                            occ_ref[0:1, sl],
+                            jnp.where(jnp.any(ok, axis=0,
+                                              keepdims=True),
+                                      1.0, 0.0))
+
+            return r + 2, alive_scr[0]
+
+        jax.lax.while_loop(cond, body,
+                           (jnp.int32(0), any0.astype(I32)))
+
+        @pl.when(any0)
+        def _():
+            term_scr[0] = jnp.min(occ_ref[0:1, :])
+
+
 def _local_rays(inst_ref, od_ref):
     """World (1, RB) ray rows -> mesh-local rows via the item's
     instance inverse transform (the reference's TLAS->BLAS ray
@@ -1199,10 +1451,11 @@ def _slice_rays(origin, direction, extra=None):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "watertight"))
+                   static_argnames=("interpret", "watertight",
+                                    "grouped"))
 def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
                             interpret=False, watertight=False,
-                            rows=None, t_cap=None):
+                            rows=None, t_cap=None, grouped=False):
     """Closest-hit via the fused hierarchical sweep. Returns
     (t, u, v, tri, inst, backface, iters) with t = +inf on miss and
     iters = clusters swept for the ray's block (traversal-cost
@@ -1231,12 +1484,13 @@ def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
                 lambda od: _closest_impl(scene, None, None, t_min,
                                          interpret, watertight,
                                          rows=(od[0], od[1]),
-                                         t_cap=t_cap),
+                                         t_cap=t_cap, grouped=grouped),
                 (os_, ds_))
             return jax.tree_util.tree_map(
                 lambda x: x.reshape(-1, *x.shape[2:])[:r], outs)
         return _closest_impl(scene, None, None, t_min, interpret,
-                             watertight, rows=rows, t_cap=t_cap)
+                             watertight, rows=rows, t_cap=t_cap,
+                             grouped=grouped)
     if origin.shape[0] > SLICE_RAYS:
         if cap_arr:
             (os_, ds_, cs_), r = _slice_rays(
@@ -1244,19 +1498,20 @@ def worklist_closest_pallas(scene, origin, direction, t_min=0.0,
             outs = jax.lax.map(
                 lambda odc: _closest_impl(scene, odc[0], odc[1], t_min,
                                           interpret, watertight,
-                                          t_cap=odc[2]),
+                                          t_cap=odc[2],
+                                          grouped=grouped),
                 (os_, ds_, cs_))
         else:
             (os_, ds_), r = _slice_rays(origin, direction)
             outs = jax.lax.map(
                 lambda od: _closest_impl(scene, od[0], od[1], t_min,
                                          interpret, watertight,
-                                         t_cap=t_cap),
+                                         t_cap=t_cap, grouped=grouped),
                 (os_, ds_))
         return jax.tree_util.tree_map(
             lambda x: x.reshape(-1, *x.shape[2:])[:r], outs)
     return _closest_impl(scene, origin, direction, t_min, interpret,
-                         watertight, t_cap=t_cap)
+                         watertight, t_cap=t_cap, grouped=grouped)
 
 
 def _slice_rays_rows(rows, extra=None):
@@ -1279,7 +1534,8 @@ def _slice_rays_rows(rows, extra=None):
 
 
 def _closest_impl(scene, origin, direction, t_min, interpret,
-                  watertight=False, rows=None, t_cap=None):
+                  watertight=False, rows=None, t_cap=None,
+                  grouped=False):
     if rows is not None:
         od, tm, r = _prep_rays_wl_rows(rows[0], rows[1])
     else:
@@ -1300,13 +1556,19 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
         texp = jnp.minimum(texp, capp)
         tm = jnp.minimum(tm, capp)
     tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
-        scene, od, tm, interpret)
+        scene, od, tm, interpret,
+        cap_mult=(GROUP_CAPM if grouped else None))
     ctab = tabs[0] if watertight else tabs[1]
     tmin_arr = jnp.full((1, 1), t_min, F32)
     inst_mode = _instanced(scene)
+    assert not (grouped and inst_mode), \
+        "grouped sweep: instanced scenes resolve to the bundle kernels"
 
     def wl_path(_):
-        scratch = [pltpu.VMEM((SUPER, 1), I32), pltpu.SMEM((1,), F32)]
+        scratch = [pltpu.VMEM((SUPER, GN if grouped else 1), I32),
+                   pltpu.SMEM((1,), F32)]
+        if grouped:
+            scratch.append(pltpu.SMEM((1,), I32))
         if inst_mode:
             sl, it = _item_locals(scene, sup)
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1348,8 +1610,10 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
                     memory_space=pltpu.VMEM),
                 scratch_shapes=scratch,
             )
+            kern = (_wlg_closest_kernel if grouped
+                    else _wl_closest_kernel)
             out = pl.pallas_call(
-                functools.partial(_wl_closest_kernel, watertight),
+                functools.partial(kern, watertight),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((8, rp), F32),
                 interpret=interpret,
@@ -1410,9 +1674,11 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "watertight"))
+                   static_argnames=("interpret", "watertight",
+                                    "grouped"))
 def worklist_any_pallas(scene, origin, direction, t_max, t_min=0.0,
-                        interpret=False, watertight=False, rows=None):
+                        interpret=False, watertight=False, rows=None,
+                        grouped=False):
     """Occlusion query via the fused hierarchical sweep. The cull is
     t_max-aware per ray: clusters beyond a ray's occlusion range are
     never entered by it (shadow rays cull past the light).
@@ -1426,39 +1692,47 @@ def worklist_any_pallas(scene, origin, direction, t_max, t_min=0.0,
             occ = jax.lax.map(
                 lambda odt_: _any_impl(scene, None, None, odt_[2],
                                        t_min, interpret, watertight,
-                                       rows=(odt_[0], odt_[1])),
+                                       rows=(odt_[0], odt_[1]),
+                                       grouped=grouped),
                 (os_, ds_, tms))
             return occ.reshape(-1)[:r]
         return _any_impl(scene, None, None, t_max, t_min, interpret,
-                         watertight, rows=rows)
+                         watertight, rows=rows, grouped=grouped)
     if origin.shape[0] > SLICE_RAYS:
         tmf = jnp.broadcast_to(jnp.asarray(t_max, F32),
                                (origin.shape[0],))
         (os_, ds_, tms), r = _slice_rays(origin, direction, tmf)
         occ = jax.lax.map(
             lambda odt_: _any_impl(scene, odt_[0], odt_[1], odt_[2],
-                                   t_min, interpret, watertight),
+                                   t_min, interpret, watertight,
+                                   grouped=grouped),
             (os_, ds_, tms))
         return occ.reshape(-1)[:r]
     return _any_impl(scene, origin, direction, t_max, t_min, interpret,
-                     watertight)
+                     watertight, grouped=grouped)
 
 
 def _any_impl(scene, origin, direction, t_max, t_min, interpret,
-              watertight=False, rows=None):
+              watertight=False, rows=None, grouped=False):
     if rows is not None:
         od, tm, r = _prep_rays_wl_rows(rows[0], rows[1], t_max=t_max)
     else:
         od, tm, r = _prep_rays_wl(origin, direction, t_max=t_max)
     rp = od.shape[1]
     tabs, cbox3, blkflags, sup, t_ent, fits, block_any, cap_s = _phases(
-        scene, od, tm, interpret)
+        scene, od, tm, interpret,
+        cap_mult=(GROUP_CAPM if grouped else None))
     ctab = tabs[0] if watertight else tabs[1]
     tmin_arr = jnp.full((1, 1), t_min, F32)
     inst_mode = _instanced(scene)
+    assert not (grouped and inst_mode), \
+        "grouped sweep: instanced scenes resolve to the bundle kernels"
 
     def wl_path(_):
-        scratch = [pltpu.VMEM((SUPER, 1), I32), pltpu.SMEM((1,), F32)]
+        scratch = [pltpu.VMEM((SUPER, GN if grouped else 1), I32),
+                   pltpu.SMEM((1,), F32)]
+        if grouped:
+            scratch.append(pltpu.SMEM((1,), I32))
         if inst_mode:
             sl, it = _item_locals(scene, sup)
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1500,8 +1774,9 @@ def _any_impl(scene, origin, direction, t_max, t_min, interpret,
                     memory_space=pltpu.VMEM),
                 scratch_shapes=scratch,
             )
+            kern = _wlg_any_kernel if grouped else _wl_any_kernel
             occ = pl.pallas_call(
-                functools.partial(_wl_any_kernel, watertight),
+                functools.partial(kern, watertight),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((1, rp), F32),
                 interpret=interpret,

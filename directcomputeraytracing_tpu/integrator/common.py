@@ -74,9 +74,20 @@ class RenderConfig:
 
 
 def pool_cast_backend(cfg):
-    """The wavefront pool casts' backend (cfg.pool_backend override,
-    else the scene-wide traversal backend)."""
-    return cfg.pool_backend or cfg.traversal_backend
+    """The wavefront pool casts' backend (cfg.pool_backend override).
+
+    Default on TPU: the GROUPED work-list sweep ("pallas_wlg") —
+    bounced pools are incoherent, and per-128-lane-group cluster
+    worklists measured 3.7x/4.5x (closest/any) over the bundle sweep
+    on the warmed 1080p stand-in pool (experiments/prof_wlg.py; the
+    resolver downgrades wlg to the bundle kernels for instanced or
+    tiny scenes). Camera casts stay on the bundle sweep, which wins
+    for coherent blocks."""
+    if cfg.pool_backend:
+        return cfg.pool_backend
+    if cfg.traversal_backend == "auto" and jax.default_backend() == "tpu":
+        return "pallas_wlg"
+    return cfg.traversal_backend
 
 
 def slab_enabled(scene, cfg, backend=None):

@@ -457,3 +457,44 @@ def test_instanced_slab_helper_exact(monkeypatch):
                                   np.asarray(full.triangle)[m])
     np.testing.assert_array_equal(np.asarray(slab.instance)[m],
                                   np.asarray(full.instance)[m])
+
+
+def test_grouped_closest_matches_stack_traversal(grid_scene):
+    """pallas_wlg (per-lane-group cluster worklists, the incoherent
+    pool backend) must agree with the stack walker like the bundle
+    kernels do."""
+    arrays, meta = grid_scene
+    o, d = _rays(256, seed=7)
+    a = intersect_closest(arrays, o, d, meta.stack_size, backend="jax")
+    b = intersect_closest(arrays, o, d, meta.stack_size,
+                          backend="pallas_wlg_interpret")
+    m = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(b.hit), m)
+    assert m.sum() > 40
+    np.testing.assert_allclose(np.asarray(b.t)[m], np.asarray(a.t)[m],
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(b.triangle)[m] == np.asarray(a.triangle)[m]).all()
+
+
+def test_grouped_anyhit_matches(grid_scene):
+    arrays, meta = grid_scene
+    o, d = _rays(256, seed=8)
+    a = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="jax")
+    b = intersect_any(arrays, o, d, jnp.float32(3.0), meta.stack_size,
+                      backend="pallas_wlg_interpret")
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_grouped_downgrades_on_instanced(monkeypatch):
+    """Instanced scenes resolve pallas_wlg to the bundle kernels."""
+    monkeypatch.setenv("DCRT_INSTANCED", "1")
+    scene, _cam = sphere_grid(3, 3, stacks=12, slices=16)
+    arrays, _meta = flatten_scene(scene)
+    from directcomputeraytracing_tpu.accel.traverse import (
+        _resolve_backend,
+    )
+    assert arrays.isup_inst.shape[0] > 1
+    assert _resolve_backend(arrays, "pallas_wlg") == "pallas_wl"
+    assert (_resolve_backend(arrays, "pallas_wlg_interpret")
+            == "pallas_wl_interpret")
