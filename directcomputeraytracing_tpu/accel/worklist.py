@@ -105,7 +105,8 @@ _NOSEL = _os.environ.get("DCRT_WL_DEBUG_NOSEL") == "1"
 _PREP_ENV = _os.environ.get("DCRT_WL_PREP", "")
                              # "xla" forces the XLA concat+transpose
                              # ray prep (A/B against the Pallas kernel)
-SLICE_RAYS = 1 << 20         # larger batches run as lax.map slices so
+SLICE_RAYS = 1 << int(_os.environ.get("DCRT_WL_SLICE_LOG2", "20"))
+                             # larger batches run as lax.map slices so
                              # item counts stay inside the SMEM budget
 _BLOCK_SHIFT = 2
 _BLOCK_MASK = 0x3FFF
@@ -747,29 +748,36 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
                 pmin = jnp.min(cand, axis=0, keepdims=True)
                 best = jax.lax.bitcast_convert_type(t_b, I32)
                 better = pmin < best
-                win = cand == pmin                   # exactly one row
 
-                def pick(x):
-                    return jnp.sum(jnp.where(win, x, 0.0), axis=0,
-                                   keepdims=True)
+                # the selection chain (~6 masked sums over the full
+                # slab) only runs when this step improved SOME ray —
+                # with nearest-first sweeping most late steps improve
+                # nothing, so the scalar any() gate pays for itself
+                @pl.when(jnp.any(better))
+                def _():
+                    win = cand == pmin               # exactly one row
 
-                def sel(j, x):
-                    out_ref[j:j + 1, :] = jnp.where(better, pick(x),
-                                                    out_ref[j:j + 1, :])
+                    def pick(x):
+                        return jnp.sum(jnp.where(win, x, 0.0), axis=0,
+                                       keepdims=True)
 
-                out_ref[0:1, :] = jax.lax.bitcast_convert_type(
-                    jnp.where(better, pmin, best), F32)
-                if not _NOSEL:
-                    mc = 9 if wt else 12   # meta cols: tri|inst|flip
-                    sel(1, jnp.broadcast_to(t, cand.shape))
-                    sel(2, jnp.broadcast_to(u, cand.shape))
-                    sel(3, jnp.broadcast_to(v, cand.shape))
-                    sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
-                                            cand.shape))
-                    sel(5, jnp.broadcast_to(tab[:, mc + 1:mc + 2],
-                                            cand.shape))
-                    flipped = back ^ (tab[:, mc + 2:mc + 3] > 0.5)
-                    sel(6, jnp.where(flipped, 1.0, 0.0))
+                    def sel(j, x):
+                        out_ref[j:j + 1, :] = jnp.where(
+                            better, pick(x), out_ref[j:j + 1, :])
+
+                    out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                        jnp.where(better, pmin, best), F32)
+                    if not _NOSEL:
+                        mc = 9 if wt else 12  # meta cols: tri|inst|flip
+                        sel(1, jnp.broadcast_to(t, cand.shape))
+                        sel(2, jnp.broadcast_to(u, cand.shape))
+                        sel(3, jnp.broadcast_to(v, cand.shape))
+                        sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
+                                                cand.shape))
+                        sel(5, jnp.broadcast_to(tab[:, mc + 1:mc + 2],
+                                                cand.shape))
+                        flipped = back ^ (tab[:, mc + 2:mc + 3] > 0.5)
+                        sel(6, jnp.where(flipped, 1.0, 0.0))
                 # row 7: clusters swept for this block (the
                 # production-path traversal-cost counter the iteration
                 # AOV reads; the reference counts per-thread loop
@@ -1179,29 +1187,33 @@ def _wl_closest_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
                 pmin = jnp.min(cand, axis=0, keepdims=True)
                 best = jax.lax.bitcast_convert_type(t_b, I32)
                 better = pmin < best
-                win = cand == pmin
 
-                def pick(x):
-                    return jnp.sum(jnp.where(win, x, 0.0), axis=0,
-                                   keepdims=True)
+                @pl.when(jnp.any(better))
+                def _():
+                    win = cand == pmin
 
-                def sel(j, x):
-                    out_ref[j:j + 1, :] = jnp.where(better, pick(x),
-                                                    out_ref[j:j + 1, :])
+                    def pick(x):
+                        return jnp.sum(jnp.where(win, x, 0.0), axis=0,
+                                       keepdims=True)
 
-                out_ref[0:1, :] = jax.lax.bitcast_convert_type(
-                    jnp.where(better, pmin, best), F32)
-                mc = 9 if wt else 12       # tri-id col
-                sel(1, jnp.broadcast_to(t, cand.shape))
-                sel(2, jnp.broadcast_to(u, cand.shape))
-                sel(3, jnp.broadcast_to(v, cand.shape))
-                sel(4, jnp.broadcast_to(tab[:, mc:mc + 1], cand.shape))
-                # instance is the item's (scalar); facing flips with a
-                # negative-determinant instance transform
-                out_ref[5:6, :] = jnp.where(better, inst_f,
-                                            out_ref[5:6, :])
-                flipped = back ^ flip
-                sel(6, jnp.where(flipped, 1.0, 0.0))
+                    def sel(j, x):
+                        out_ref[j:j + 1, :] = jnp.where(
+                            better, pick(x), out_ref[j:j + 1, :])
+
+                    out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                        jnp.where(better, pmin, best), F32)
+                    mc = 9 if wt else 12       # tri-id col
+                    sel(1, jnp.broadcast_to(t, cand.shape))
+                    sel(2, jnp.broadcast_to(u, cand.shape))
+                    sel(3, jnp.broadcast_to(v, cand.shape))
+                    sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
+                                            cand.shape))
+                    # instance is the item's (scalar); facing flips
+                    # with a negative-determinant instance transform
+                    out_ref[5:6, :] = jnp.where(better, inst_f,
+                                                out_ref[5:6, :])
+                    flipped = back ^ flip
+                    sel(6, jnp.where(flipped, 1.0, 0.0))
                 swept = sum(jnp.where(vv, 1.0, 0.0) for vv in vs_)
                 out_ref[7:8, :] = out_ref[7:8, :] + swept
 

@@ -174,8 +174,45 @@ class Renderer:
         can_fuse_wf = (self._box_fast_path
                        and seed_mode == SEED_SAMPLE_COUNT
                        and self.integrator == "wavefront" and fuse > 1)
+        # splatting-film wavefront fusion: per-(pixel, sample) output
+        # slots keep every interleaved sample's position, so the pool
+        # pass stays fused and the reconstruction filter convolves one
+        # sample plane per batched sample afterwards (the reference's
+        # per-sample position texture + convolution pass,
+        # Source/SampleConvolution.cpp:89-170)
+        can_fuse_wf_filtered = (not self._box_fast_path
+                                and seed_mode == SEED_SAMPLE_COUNT
+                                and self.integrator == "wavefront"
+                                and fuse > 1)
         remaining = spp
         while remaining > 0:
+            if can_fuse_wf_filtered and remaining >= fuse:
+                from .wavefront import render_samples_wavefront, \
+                    tunnel_paced
+
+                RT = self._px.shape[0] * fuse
+                chunked = (8 if tunnel_paced()
+                           else (16 if RT > (1 << 17) else None))
+                pos, vals = render_samples_wavefront(
+                    self.arrays, self.luts, self.camera, self.cfg,
+                    self._px, self._py, jnp.uint32(self.spp),
+                    iterations_per_dispatch=chunked, spp_batch=fuse,
+                    sample_slots=True)
+                if self._inv is not None:
+                    # slots are pixel-major in tile order; expand the
+                    # raster inverse permutation to slot granularity
+                    inv_rt = (self._inv[:, None] * fuse
+                              + jnp.arange(fuse)).ravel()
+                    pos = pos[inv_rt]
+                    vals = vals[inv_rt]
+                for s in range(fuse):
+                    self.film = _accumulate_filtered(
+                        self.film, pos[s::fuse], vals[s::fuse],
+                        self.filter_params, self.cfg.height,
+                        self.cfg.width)
+                self.spp += fuse
+                remaining -= fuse
+                continue
             if can_fuse_wf and remaining >= fuse:
                 from .wavefront import render_samples_wavefront, \
                     tunnel_paced

@@ -87,7 +87,8 @@ class PoolState(NamedTuple):
 
 def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
                              pixel_y, frame_seed, pool_size=None,
-                             iterations_per_dispatch=None, spp_batch=1):
+                             iterations_per_dispatch=None, spp_batch=1,
+                             sample_slots=False):
     """Trace spp_batch samples per pixel (default 1; same contract as
     megakernel.render_samples), computed through the path pool.
 
@@ -108,19 +109,23 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
     sort then groups, keeping bundle frusta tight at every bounce
     depth (one sample per pixel leaves ~8 rays per Morton cell at
     1080p, so 1024-ray bundles span ~128 cells and sweep most of the
-    hierarchy). Box-filter accumulation only: per-sample film
-    positions collide in out_pos."""
+    hierarchy). Box-filter accumulation sums per pixel by default;
+    sample_slots=True returns per-(pixel, sample) position/value slots
+    (pixel-major) so splatting reconstruction filters work on this
+    path too (see render_samples_wavefront_pure)."""
     if iterations_per_dispatch is None:
         return _render_whole(scene, luts, cam, cfg, pixel_x, pixel_y,
-                             frame_seed, pool_size, spp_batch)
+                             frame_seed, pool_size, spp_batch,
+                             sample_slots)
     RT = pixel_x.shape[0] * spp_batch
     state = _init_state(scene, luts, cam, cfg, pixel_x, pixel_y,
-                        frame_seed, pool_size, spp_batch)
+                        frame_seed, pool_size, spp_batch, sample_slots)
     pause = dispatch_pause_s()
     while True:
         state = _chunk(scene, luts, cam, cfg, pixel_x, pixel_y,
                        frame_seed, state, pool_size,
-                       int(iterations_per_dispatch), spp_batch)
+                       int(iterations_per_dispatch), spp_batch,
+                       sample_slots)
         if not (int(state.cursor) < RT or bool(jnp.any(state.busy))):
             break
         if pause:
@@ -160,18 +165,21 @@ def dispatch_pause_s():
     return float(_os.environ.get("DCRT_DISPATCH_PAUSE_S", "2.0"))
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool_size", "spp_batch"))
+@partial(jax.jit, static_argnames=("cfg", "pool_size", "spp_batch",
+                                   "sample_slots"))
 def _init_state(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed,
-                pool_size=None, spp_batch=1):
-    return _make_state(cfg, pixel_x.shape[0], pool_size, spp_batch)
+                pool_size=None, spp_batch=1, sample_slots=False):
+    return _make_state(cfg, pixel_x.shape[0], pool_size, spp_batch,
+                       sample_slots)
 
 
 @partial(jax.jit, static_argnames=("cfg", "pool_size", "max_iters",
-                                   "spp_batch"))
+                                   "spp_batch", "sample_slots"))
 def _chunk(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, state,
-           pool_size, max_iters, spp_batch=1):
+           pool_size, max_iters, spp_batch=1, sample_slots=False):
     cond, step = _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y,
-                           frame_seed, pixel_x.shape[0], spp_batch)
+                           frame_seed, pixel_x.shape[0], spp_batch,
+                           sample_slots)
 
     def cond2(carry):
         s, j = carry
@@ -201,8 +209,9 @@ def _pool_capacity(R, pool_size):
     return min(P, 1 << (R - 1).bit_length())
 
 
-def _make_state(cfg, R, pool_size, spp_batch=1):
+def _make_state(cfg, R, pool_size, spp_batch=1, sample_slots=False):
     P = _pool_capacity(R * spp_batch, pool_size)
+    OUT = R * spp_batch if sample_slots else R
     rng0 = init_rng(jnp.zeros(P, U32), jnp.zeros(P, U32), jnp.uint32(0))
     return PoolState(
         rng=rng0,
@@ -217,32 +226,41 @@ def _make_state(cfg, R, pool_size, spp_batch=1):
         opacity_u=jnp.zeros(P, F32),
         busy=jnp.zeros(P, bool),
         cursor=jnp.asarray(0, I32),
-        out_pos=jnp.zeros((R, 2), F32),
-        out_val=jnp.zeros((R, 3), F32),
+        out_pos=jnp.zeros((OUT, 2), F32),
+        out_val=jnp.zeros((OUT, 3), F32),
     )
 
 
 def render_samples_wavefront_pure(scene, luts, cam, cfg: RenderConfig,
                                   pixel_x, pixel_y, frame_seed,
-                                  pool_size=None, spp_batch=1):
+                                  pool_size=None, spp_batch=1,
+                                  sample_slots=False):
     """Un-jitted whole-loop wavefront pass: trace spp_batch samples per
     pixel draining the pool to completion. For embedding in larger
     programs (e.g. a shard_map distributed step); same contract as
-    megakernel.render_samples."""
+    megakernel.render_samples. sample_slots=True keeps EVERY
+    (pixel, sample) position/value in its own output slot
+    (pixel-major, slot = pixel * spp_batch + sample) so non-box
+    reconstruction filters can convolve each interleaved sample — the
+    reference's splatting film keeps per-sample position textures the
+    same way (Source/SampleConvolution.cpp:89-170)."""
     R = pixel_x.shape[0]
-    state = _make_state(cfg, R, pool_size, spp_batch)
+    state = _make_state(cfg, R, pool_size, spp_batch, sample_slots)
     cond, step = _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y,
-                           frame_seed, R, spp_batch)
+                           frame_seed, R, spp_batch, sample_slots)
     out = jax.lax.while_loop(cond, step, state)
     return out.out_pos, out.out_val
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool_size", "spp_batch"))
+@partial(jax.jit, static_argnames=("cfg", "pool_size", "spp_batch",
+                                   "sample_slots"))
 def _render_whole(scene, luts, cam, cfg: RenderConfig, pixel_x,
-                  pixel_y, frame_seed, pool_size=None, spp_batch=1):
+                  pixel_y, frame_seed, pool_size=None, spp_batch=1,
+                  sample_slots=False):
     return render_samples_wavefront_pure(scene, luts, cam, cfg,
                                          pixel_x, pixel_y, frame_seed,
-                                         pool_size, spp_batch)
+                                         pool_size, spp_batch,
+                                         sample_slots)
 
 
 def _park(mask, o, d):
@@ -353,7 +371,7 @@ def _permute_pool(scene, busy, ray_o, ray_d, lanes):
 
 
 def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
-              spp_batch=1):
+              spp_batch=1, sample_slots=False):
     """(cond, step) for the streaming loop — shared by the fused
     single-dispatch path and the host-chunked driver. The cursor walks
     R * spp_batch virtual (pixel, sample) items pixel-major (sample s
@@ -407,7 +425,9 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
         busy = s.busy | take
         is_primary = take
 
-        out_pos = s.out_pos.at[jnp.where(take, pidx, R)].set(
+        out_n = RT if sample_slots else R
+        out_pos = s.out_pos.at[jnp.where(
+            take, vidx if sample_slots else pidx, out_n)].set(
             pixel_sample, mode="drop")
 
         bsdf_pdf_prev = s.bsdf_pdf
@@ -529,7 +549,10 @@ def _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, R,
 
         # ---- CONTROL: write finished samples to the film ----------------
         finish = busy & ~still
-        out_val = s.out_val.at[jnp.where(finish, pidx, R)].add(
+        ridx = (jnp.clip(pixel_new, 0, RT - 1) if sample_slots
+                else pidx)
+        out_val = s.out_val.at[jnp.where(
+            finish, ridx, RT if sample_slots else R)].add(
             jnp.where(finish[:, None], li, 0.0), mode="drop")
 
         return PoolState(

@@ -244,3 +244,29 @@ def test_pool_backend_pair_matches_bundle():
     np.testing.assert_array_equal(np.asarray(pos_a), np.asarray(pos_b))
     np.testing.assert_allclose(np.asarray(val_a), np.asarray(val_b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_wavefront_filtered_spp_batch_matches_sequential():
+    """Splatting-film wavefront fusion: spp_batch with per-sample
+    output slots + per-sample convolution must equal the per-sample
+    passes AND the megakernel under the same gaussian filter
+    (reference: per-sample position textures convolved by
+    SampleConvolution.cpp:89-170)."""
+    from directcomputeraytracing_tpu.integrator.renderer import (
+        Renderer,
+    )
+
+    scene, cam = cornell_box(light="area")
+    kw = dict(width=48, height=32, max_bounce=2,
+              integrator="wavefront", filter_type="gaussian",
+              filter_radius=1.5)
+    r1 = Renderer(scene, cam, **kw)
+    img1 = np.asarray(r1.render(spp=4, samples_per_dispatch=4))
+    r2 = Renderer(scene, cam, **kw)
+    img2 = np.asarray(r2.render(spp=4, samples_per_dispatch=1))
+    np.testing.assert_allclose(img1, img2, atol=1e-5)
+    r3 = Renderer(scene, cam, width=48, height=32, max_bounce=2,
+                  integrator="megakernel", filter_type="gaussian",
+                  filter_radius=1.5)
+    img3 = np.asarray(r3.render(spp=4))
+    np.testing.assert_allclose(img1, img3, atol=1e-4)
