@@ -39,6 +39,11 @@ def build_parser():
     p.add_argument("--seed", type=int, default=None,
                    help="fixed frame seed (deterministic); default: "
                         "per-sample seeds")
+    p.add_argument("--seed-mode", default="sample_count",
+                   choices=["sample_count", "frame_index", "fixed"],
+                   help="progressive seed mode (reference "
+                        "EFrameSeedType; frame_index keeps advancing "
+                        "across film resets)")
     p.add_argument("--no-post", action="store_true",
                    help="write raw linear radiance instead of the "
                         "exposure/tonemap chain")
@@ -242,7 +247,13 @@ def main(argv=None):
 
     todo = max(args.spp - r.spp, 0)
     for s in range(todo):
-        r.render_sample(args.seed if args.seed is not None else r.spp)
+        if args.seed is not None or args.seed_mode == "fixed":
+            seed = args.seed or 0
+        elif args.seed_mode == "frame_index":
+            seed = r.frame_index
+        else:
+            seed = r.spp
+        r.render_sample(seed)
         if (s + 1) % 8 == 0 or s + 1 == todo:
             print(f"  {r.spp}/{args.spp} spp "
                   f"({time.time() - t0:.1f}s)", file=sys.stderr)

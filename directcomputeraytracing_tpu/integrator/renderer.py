@@ -29,6 +29,13 @@ from .megakernel import full_frame_pixels, render_samples
 
 SEED_SAMPLE_COUNT = "sample_count"   # seed = accumulated sample index
 SEED_FIXED = "fixed"                 # pinned seed (deterministic retrace)
+SEED_FRAME_INDEX = "frame_index"     # seed = global frame counter that
+                                     # keeps advancing across film
+                                     # resets (reference EFrameSeedType::
+                                     # FrameIndex, DirectComputeRayTracing
+                                     # .h:111 — SampleCount restarts the
+                                     # sequence with the image,
+                                     # FrameIndex does not)
 
 
 @partial(jax.jit, static_argnames=("fp", "height", "width"))
@@ -83,6 +90,8 @@ class Renderer:
         self.post_params = post_params or PostParams()
         self.film = create_film(height, width)
         self.spp = 0
+        self.frame_index = 0    # advances per sample pass, survives
+                                # reset() (SEED_FRAME_INDEX mode)
         # On TPU, trace rays in 32x32 pixel tiles: compact per-block
         # frustums let the clustered kernel skip most clusters. One
         # inverse-permutation gather per sample pass restores raster
@@ -101,6 +110,9 @@ class Renderer:
                 and self.filter_params.radius <= 0.5)
 
     def reset(self):
+        """Restart progressive accumulation (the reference's dirty-flag
+        film clear). frame_index deliberately survives — that is the
+        FrameIndex seed mode's defining behavior."""
         self.film = create_film(self.cfg.height, self.cfg.width)
         self.spp = 0
 
@@ -157,6 +169,7 @@ class Renderer:
                 self.film, pos, values, self.filter_params,
                 self.cfg.height, self.cfg.width)
         self.spp += 1
+        self.frame_index += 1
 
     def render(self, spp, seed_mode=SEED_SAMPLE_COUNT, fixed_seed=0,
                samples_per_dispatch=None):
@@ -211,6 +224,7 @@ class Renderer:
                         self.filter_params, self.cfg.height,
                         self.cfg.width)
                 self.spp += fuse
+                self.frame_index += fuse
                 remaining -= fuse
                 continue
             if can_fuse_wf and remaining >= fuse:
@@ -234,6 +248,7 @@ class Renderer:
                 self.film = Film(value=self.film.value + v,
                                  weight=self.film.weight + float(fuse))
                 self.spp += fuse
+                self.frame_index += fuse
                 remaining -= fuse
                 continue
             if can_fuse and remaining >= fuse:
@@ -258,9 +273,15 @@ class Renderer:
                 self.film = Film(value=self.film.value + v,
                                  weight=self.film.weight + float(fuse))
                 self.spp += fuse
+                self.frame_index += fuse
                 remaining -= fuse
             else:
-                seed = fixed_seed if seed_mode == SEED_FIXED else self.spp
+                if seed_mode == SEED_FIXED:
+                    seed = fixed_seed
+                elif seed_mode == SEED_FRAME_INDEX:
+                    seed = self.frame_index
+                else:
+                    seed = self.spp
                 self.render_sample(seed)
                 remaining -= 1
         return self.image()

@@ -35,3 +35,29 @@ def test_odd_resolution_render_and_zero_spp():
     img = r.render(spp=2)
     assert img.shape == (23, 37, 3)
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_frame_index_seed_mode_survives_reset():
+    """SEED_FRAME_INDEX keeps advancing the seed across film resets
+    (reference EFrameSeedType::FrameIndex vs SampleCount,
+    DirectComputeRayTracing.h:111, LaunchRendererLoop.cpp:256-262):
+    after reset(), FrameIndex renders DIFFERENT samples while
+    SampleCount reproduces the same image."""
+    import numpy as np
+
+    from directcomputeraytracing_tpu.integrator.renderer import Renderer
+    from directcomputeraytracing_tpu.scene.presets import cornell_box
+
+    scene, cam = cornell_box(light="point")
+    r = Renderer(scene, cam, width=24, height=16, max_bounce=1,
+                 integrator="megakernel")
+    a = np.asarray(r.render(spp=1, seed_mode="frame_index"))
+    r.reset()
+    b = np.asarray(r.render(spp=1, seed_mode="frame_index"))
+    assert not np.allclose(a, b), "frame_index must not restart"
+    r2 = Renderer(scene, cam, width=24, height=16, max_bounce=1,
+                  integrator="megakernel")
+    c = np.asarray(r2.render(spp=1))
+    r2.reset()
+    d = np.asarray(r2.render(spp=1))
+    np.testing.assert_allclose(c, d)   # sample_count DOES restart
