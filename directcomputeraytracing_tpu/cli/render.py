@@ -57,7 +57,8 @@ def build_parser():
                    help="path to baked BxDF LUTs (.npz); bakes fresh "
                         "when omitted and multiscatter materials exist")
     p.add_argument("--env", default=None, metavar="IMAGE",
-                   help="attach an IBL environment light from a lat-long "
+                   help="attach an IBL environment light from a cubemap or "
+                   "lat-long "
                         "radiance map (npy/npz/png/dds)")
     p.add_argument("--env-scale", type=float, default=1.0)
     p.add_argument("--slab-march", type=float, default=None,

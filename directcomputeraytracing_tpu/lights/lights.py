@@ -50,10 +50,61 @@ def _normalize_len(v):
     return v / jnp.maximum(l, 1e-20)[..., None], l
 
 
+def _cubemap_face_uv(wi):
+    """D3D cubemap addressing: direction -> (face, u, v) with faces
+    ordered +X -X +Y -Y +Z -Z and u,v in [0,1] (reference: the
+    TextureCube hardware sample in Shaders/Light.inc.hlsl:77-81 /
+    Source/GPUTexture.cpp:165-245). Same face selection and
+    tie-breaking as `utils.hdr.cubemap_to_latlong`."""
+    x, y, z = wi[..., 0], wi[..., 1], wi[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x, jnp.where(x > 0, 0, 1),
+        jnp.where(is_y, jnp.where(y > 0, 2, 3),
+                  jnp.where(z > 0, 4, 5))).astype(I32)
+    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-20)
+    sc = jnp.where(is_x, jnp.where(x > 0, -z, z),
+                   jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
+    tc = jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
+    return face, sc / ma * 0.5 + 0.5, tc / ma * 0.5 + 0.5
+
+
+def _sample_cubemap(faces_tex, wi):
+    """Bilinear cube lookup on (6, S, S, 3) faces. Texels are clamped
+    to their own face (D3D12's seamless cube filtering blends across
+    the edge instead — a <=half-texel delta confined to face seams,
+    documented in docs/PARITY.md)."""
+    s = faces_tex.shape[1]
+    face, u, v = _cubemap_face_uv(wi)
+    fx = u * s - 0.5
+    fy = v * s - 0.5
+    x0 = jnp.clip(jnp.floor(fx).astype(I32), 0, s - 1)
+    y0 = jnp.clip(jnp.floor(fy).astype(I32), 0, s - 1)
+    x1 = jnp.minimum(x0 + 1, s - 1)
+    y1 = jnp.minimum(y0 + 1, s - 1)
+    tx = jnp.clip(fx - x0.astype(F32), 0.0, 1.0)[..., None]
+    ty = jnp.clip(fy - y0.astype(F32), 0.0, 1.0)[..., None]
+    v00 = faces_tex[face, y0, x0]
+    v01 = faces_tex[face, y0, x1]
+    v10 = faces_tex[face, y1, x0]
+    v11 = faces_tex[face, y1, x1]
+    return (v00 * (1 - tx) + v01 * tx) * (1 - ty) \
+        + (v10 * (1 - tx) + v11 * tx) * ty
+
+
 def sample_env_radiance(env_texture, wi, has_env_texture):
-    """Equirectangular lat-long lookup (bilinear); unit radiance scale."""
+    """Environment radiance lookup; unit radiance scale.
+
+    (6, S, S, 3) textures are sampled directly as a D3D-order cubemap
+    (the reference's native path); (H, W, 3) as an equirectangular
+    lat-long panorama (bilinear). The rank is static under jit, so the
+    branch costs nothing."""
     if not has_env_texture:
         return jnp.ones(wi.shape[:-1] + (3,), F32)
+    if env_texture.ndim == 4:
+        return _sample_cubemap(env_texture, wi)
     h, w = env_texture.shape[0], env_texture.shape[1]
     u = jnp.arctan2(wi[..., 2], wi[..., 0]) * F32(0.5 / PI) + 0.5
     v = jnp.arccos(jnp.clip(wi[..., 1], -1.0, 1.0)) * F32(1.0 / PI)

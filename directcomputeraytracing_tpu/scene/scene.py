@@ -130,7 +130,8 @@ class Scene:
     instances: List[Instance] = field(default_factory=list)
     materials: List[Material] = field(default_factory=list)
     lights: List[PunctualLight] = field(default_factory=list)
-    env_texture: Optional[np.ndarray] = None  # (H, W, 3) lat-long radiance
+    # (H, W, 3) lat-long or (6, S, S, 3) D3D-order cubemap radiance
+    env_texture: Optional[np.ndarray] = None
     textures: List[np.ndarray] = field(default_factory=list)  # (h,w,4) each
 
 

@@ -290,10 +290,14 @@ def _dds_decode_image(fmt, raw, w, h):
     raise ValueError(f"DDS DXGI format {fmt} not supported")
 
 
-def load_dds(path):
-    """DDS -> (H, W, 3) float32 linear. Cubemaps return the 6 faces
-    resampled to a (4*faceH//2... ) lat-long panorama via
-    `cubemap_to_latlong` (2:1 aspect, height = 2 * face size)."""
+def load_dds(path, cubemap="faces"):
+    """DDS -> float32 linear. 2D textures return (H, W, 3). Cubemaps
+    return the D3D-order faces (6, S, S, 3) ready for direct cube
+    sampling (`lights.sample_env_radiance`, the reference's native
+    addressing, Source/GPUTexture.cpp:165-245) when cubemap="faces"
+    (default), or a (2S, 4S... ) lat-long panorama via
+    `cubemap_to_latlong` (2:1 aspect, height = 2 * face size) when
+    cubemap="latlong"."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"DDS ":
@@ -338,6 +342,8 @@ def load_dds(path):
         images.append(img)
     if not is_cube:
         return np.ascontiguousarray(images[0])
+    if cubemap == "faces":
+        return np.ascontiguousarray(np.stack(images))
     return cubemap_to_latlong(np.stack(images), 2 * h)
 
 
@@ -357,10 +363,12 @@ def cubemap_to_latlong(faces, height):
     phi = (np.arange(ww, dtype=np.float32) + 0.5) / ww * 2 * np.pi - np.pi
     st, ct = np.sin(theta)[:, None], np.cos(theta)[:, None]
     sp, cp = np.sin(phi)[None, :], np.cos(phi)[None, :]
-    # lat-long convention: +Y up, phi=0 -> +Z
-    x = st * sp
+    # lat-long convention: +Y up, and the exact inverse of
+    # `lights.sample_env_radiance`'s lookup (u = atan2(z, x)/2pi + 0.5),
+    # so a resampled cubemap renders identically to direct sampling
+    x = st * cp
     y = np.broadcast_to(ct, (hh, ww))
-    z = st * cp
+    z = st * sp
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     face = np.zeros((hh, ww), np.int32)
     u = np.zeros((hh, ww), np.float32)

@@ -53,16 +53,17 @@ def load_texture_rgba(path):
     return rgba
 
 
-def load_env_map(path):
-    """Load an environment radiance map as (H, W, 3) float32 lat-long.
-
-    Replaces the reference's DDS cubemap load (reference:
-    Source/GPUTexture.cpp:165-245 CreateFromFile via DDSTextureLoader12;
-    the TPU build samples a single equirectangular panorama instead of a
-    cubemap — same role, simpler addressing on a vector machine).
+def load_env_map(path, cubemap="faces"):
+    """Load an environment radiance map: (H, W, 3) float32 lat-long, or
+    (6, S, S, 3) D3D-order cube faces for cubemap DDS files (sampled
+    directly, matching the reference's native cubemap path —
+    Source/GPUTexture.cpp:165-245 CreateFromFile via DDSTextureLoader12
+    + the TextureCube sample in Shaders/Light.inc.hlsl:77-81).
+    Pass cubemap="latlong" to resample cube faces to an equirectangular
+    panorama instead (the pre-round-4 behavior).
     Formats: .hdr (Radiance RGBE), .exr (OpenEXR scanline), .dds (float
-    formats; cubemaps are resampled to lat-long), .npy/.npz (linear
-    float), anything PIL decodes (sRGB LDR images are linearized).
+    formats incl. BC6H; cubemaps), .npy/.npz (linear float), anything
+    PIL decodes (sRGB LDR images are linearized).
     """
     lower = path.lower()
     if lower.endswith(".hdr"):
@@ -76,7 +77,7 @@ def load_env_map(path):
     elif lower.endswith(".dds"):
         from .hdr import load_dds
 
-        img = load_dds(path)
+        img = load_dds(path, cubemap=cubemap)
     elif lower.endswith(".npy"):
         img = np.load(path)
     elif lower.endswith(".npz"):

@@ -207,16 +207,21 @@ def test_dds_cubemap_resample(tmp_path):
     p = tmp_path / "cube.dds"
     p.write_bytes(_dds_header(s, s, H._DXGI_R16G16B16A16F, cube=True)
                   + faces.tobytes())
-    pano = H.load_dds(str(p))
+    cube = H.load_dds(str(p))
+    assert cube.shape == (6, s, s, 3)
+    for f in range(6):
+        assert np.allclose(cube[f], f + 1.0)
+    pano = H.load_dds(str(p), cubemap="latlong")
     assert pano.shape == (2 * s, 4 * s, 3)
     hh, ww = pano.shape[:2]
     # +Y face (value 3) straight up, -Y (4) straight down
     assert abs(pano[0, ww // 2, 0] - 3.0) < 0.5
     assert abs(pano[hh - 1, ww // 2, 0] - 4.0) < 0.5
-    # phi=0 is +Z (value 5) at the pano center column
-    assert abs(pano[hh // 2, ww // 2, 0] - 5.0) < 0.5
-    # phi=+pi/2 is +X (value 1)
-    assert abs(pano[hh // 2, 3 * ww // 4, 0] - 1.0) < 0.5
+    # pano columns follow sample_env_radiance's u = atan2(z,x)/2pi + 0.5:
+    # the center column (u=0.5, atan2=0) is +X (value 1)
+    assert abs(pano[hh // 2, ww // 2, 0] - 1.0) < 0.5
+    # u=0.75 (atan2=+pi/2) is +Z (value 5)
+    assert abs(pano[hh // 2, 3 * ww // 4, 0] - 5.0) < 0.5
 
 
 def test_cubemap_directions_cover_all_faces():
@@ -340,5 +345,6 @@ def test_bc6h_dds_load_and_cubemap(tmp_path):
     pc = tmp_path / "bc6cube.dds"
     pc.write_bytes(_dds_header(8, 8, H._DXGI_BC6H_UF16, cube=True)
                    + b"".join(faces))
-    pano = H.load_dds(str(pc))
+    assert H.load_dds(str(pc)).shape == (6, 8, 8, 3)
+    pano = H.load_dds(str(pc), cubemap="latlong")
     assert pano.shape == (16, 32, 3) and np.isfinite(pano).all()
