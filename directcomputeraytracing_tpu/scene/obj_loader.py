@@ -242,22 +242,52 @@ def load_obj(path, default_material=None):
 
     meshes, instances = [], []
     for name, faces in shapes:
+        # exact MikkTSpace per-corner tangents, computed the way the
+        # reference does (WavefrontOBJLoading.cpp:147-152 + 215-218):
+        # original RHS coordinates and ORIGINAL winding in, V already
+        # flipped; the RHS->LHS transform then negates tangent.x like
+        # any other normal-transformed vector (:297-309), and the
+        # vertex dedup keys on the tangent so corners with different
+        # spaces split the vertex
+        have_normals = all(c[2] >= 0 for corners, _ in faces
+                           for c in corners)
+        corner_tan = None
+        if have_normals and os.environ.get("DCRT_FAST_TANGENTS") != "1":
+            from .mikktspace import generate_tangents
+
+            ctup = np.asarray([[c for c in corners]
+                               for corners, _ in faces], np.int64)
+            flip = np.asarray([-1.0, 1.0, 1.0], np.float32)
+            cpos = pos_np[ctup[..., 0]] * flip   # undo the RHS->LHS
+            cnrm = nrm_np[ctup[..., 2]] * flip
+            cuv = np.where((ctup[..., 1:2] >= 0),
+                           uv_np[np.maximum(ctup[..., 1], 0)], 0.0
+                           ).astype(np.float32)
+            corner_tan, _ = generate_tangents(cpos, cnrm, cuv)
+            corner_tan = corner_tan * flip       # transform to LHS
+
         key_to_idx: Dict = {}
-        vpos, vnrm, vuv = [], [], []
+        vpos, vnrm, vuv, vtan = [], [], [], []
         tris = []
         matids = []
-        for corners, mat_id in faces:
+        for fidx, (corners, mat_id) in enumerate(faces):
             # winding flip: reverse corner order (reference :433)
             tri = []
-            for c in reversed(corners):
-                if c not in key_to_idx:
-                    key_to_idx[c] = len(vpos)
+            for j, c in enumerate(reversed(corners)):
+                if corner_tan is not None:
+                    tan = corner_tan[fidx, 2 - j]
+                    key = (c, tan.tobytes())
+                else:
+                    tan, key = None, c
+                if key not in key_to_idx:
+                    key_to_idx[key] = len(vpos)
                     vi, ti, ni = c
                     vpos.append(pos_np[vi])
                     vnrm.append(nrm_np[ni] if ni >= 0 else None)
                     vuv.append(uv_np[ti] if ti >= 0
                                else np.zeros(2, np.float32))
-                tri.append(key_to_idx[c])
+                    vtan.append(tan)
+                tri.append(key_to_idx[key])
             tris.append(tri)
             matids.append(max(mat_id, 0))
         vpos = np.asarray(vpos, np.float32)
@@ -271,8 +301,12 @@ def load_obj(path, default_material=None):
                     texcoords=vuv,
                     material_ids=np.asarray(matids, np.int64),
                     name=name or os.path.basename(path))
-        mesh.tangents = compute_tangents(mesh.positions, mesh.normals,
-                                         mesh.texcoords, mesh.indices)
+        if corner_tan is not None:
+            mesh.tangents = np.asarray(vtan, np.float32)
+        else:
+            mesh.tangents = compute_tangents(
+                mesh.positions, mesh.normals, mesh.texcoords,
+                mesh.indices)
         meshes.append(mesh)
         instances.append(Instance(mesh=len(meshes) - 1, name=mesh.name))
 
