@@ -59,7 +59,7 @@ def _timed(fn, reps=3):
     return best
 
 
-def traversal_metrics(include_1m):
+def traversal_metrics(include_1m, only_1m=False):
     """Traversal throughput, measured the way production consumes the
     kernels: K dependent casts per dispatch (lax.scan), wall-clocked
     around the dispatch, divided by K*rays. The reference's own Mrays
@@ -91,7 +91,7 @@ def traversal_metrics(include_1m):
     # BLAS-sharing instanced work-list path past the 2^20 world-soup
     # budget; smaller ray count bounds its runtime. It runs LAST of the
     # traversal rows (the headline only needs 36k + 212k).
-    rows = [("36k", 5, 2048), ("212k", 12, 2048)]
+    rows = [] if only_1m else [("36k", 5, 2048), ("212k", 12, 2048)]
     if include_1m:
         rows.append(("1M", 27, 1024))
     for label, n, w in rows:
@@ -326,11 +326,18 @@ def standin_1080p_metrics():
     scene, cam = _standin_scene()
     r = _Renderer()(scene, cam, width=1920, height=1080,
                     max_bounce=4, any_hit=True, integrator="wavefront")
-    r.render(spp=8)  # compile + warm-up
-    _post({"standin1080p_compile_warm_s":
-           time.perf_counter() - _T_START})
-    if _remaining() < 120:
-        _post({"skipped_1080p_timing": "budget_after_warmup"})
+    t0 = time.perf_counter()
+    r.render(spp=8)  # compile (persistent-cache load) + warm-up
+    warm_s = time.perf_counter() - t0
+    _post({"standin1080p_compile_warm_s": warm_s})
+    # the timed render costs about warm_s minus the compile load; warm_s
+    # itself is a safe over-estimate of what the next call needs
+    if _remaining() < 0.9 * warm_s + 30:
+        # the warm drain itself still bounds the rate from above
+        # (compile included), so the headline is never silently absent
+        _post({"skipped_1080p_timing": "budget_after_warmup",
+               "standin1080p_wavefront_ms_per_spp_upper":
+                   warm_s * 1e3 / 8.0})
         return
     t0 = time.perf_counter()
     r.render(spp=8)
@@ -372,7 +379,8 @@ def _worker():
         ("cornell", cornell_metrics, 60),
         ("oracle", image_oracle_metrics, 60),
         ("kernel_check", kernel_check_metrics, 90),
-        ("traversal_1m", lambda: traversal_metrics(include_1m=True), 240),
+        ("traversal_1m",
+         lambda: traversal_metrics(include_1m=True, only_1m=True), 240),
         ("standin_small", standin_small_metrics, 180),
         # 1080p wavefront: compile ~5 min + 16 spp; give it the rest of
         # the budget but only start with >=14 min in hand

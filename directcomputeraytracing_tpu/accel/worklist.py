@@ -88,6 +88,11 @@ MAX_COARSE = int(_os.environ.get("DCRT_WL_MAXC", "49152"))  # SMEM budget
 MAX_HYPER = int(_os.environ.get("DCRT_WL_MAXH", "16384"))
                              # (block, hyper) refine items per dispatch
 PAIR = int(_os.environ.get("DCRT_WL_PAIR", "2"))
+# one-shot per-item re-key of the remaining cluster worklist against
+# the tightened per-ray best-t (closest kernel; see body comment)
+_REKEY = _os.environ.get("DCRT_WL_REKEY", "0") == "1"
+# gate the pack+argmin+selection phase on any in-window candidate
+_TSKIP = _os.environ.get("DCRT_WL_TSKIP", "0") == "1"
                              # clusters fused per sweep iteration (1|2)
 CAPM = int(_os.environ.get("DCRT_WL_CAPM", "16"))
                              # sweep items per block (capacity budget)
@@ -718,6 +723,23 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
 
         def body(c):
             r, _ = c
+            if _REKEY:
+                # one-shot re-key: after the first pair (the nearest
+                # clusters, where most coherent rays find their hit),
+                # re-run the per-ray enter test against the TIGHTENED
+                # best-t and drop remaining clusters no surviving ray
+                # still enters (never revives popped clusters). Costs
+                # ~half a sweep step once per item; prunes the tail
+                # the bundle-max break keeps alive.
+                @pl.when(r == PAIR)
+                def _():
+                    ent2, tl2 = _fine_enter(cbox_ref, od_ref,
+                                            out_ref[0:1, :],
+                                            floor=t_min)
+                    keys2, _n2 = _cluster_keys(ent2, tl2, iota)
+                    cur = mask_scr[:, :]
+                    mask_scr[:, :] = jnp.where(cur == _INF_KEY,
+                                               _INF_KEY, keys2)
             cs_, vs_, k_1 = _pick_clusters(mask_scr, iota)
             # in-item early break: picks arrive nearest-first, so once
             # the nearest remaining cluster's entry (t bits, truncated
@@ -737,47 +759,63 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
                 child, okv = _seg_child_ok(rows, cs_, vs_)
                 if okv is not None:
                     ok = ok & okv
-                # pack (t & ~0x1FF) | (child << 4) | row: the integer
-                # min IS the argmin, the id bits make every candidate
-                # unique, and the winner's EXACT attributes are picked
-                # right here with masked sums (replacing three 1M-row
-                # HBM gathers in the old post-pass, ~4x)
-                bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
-                        | ((child << 4) + rowmod))
-                cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
-                pmin = jnp.min(cand, axis=0, keepdims=True)
-                best = jax.lax.bitcast_convert_type(t_b, I32)
-                better = pmin < best
 
-                # the selection chain (~6 masked sums over the full
-                # slab) only runs when this step improved SOME ray —
-                # with nearest-first sweeping most late steps improve
-                # nothing, so the scalar any() gate pays for itself
-                @pl.when(jnp.any(better))
-                def _():
-                    win = cand == pmin               # exactly one row
+                def pack_and_select():
+                    # pack (t & ~0x1FF) | (child << 4) | row: the
+                    # integer min IS the argmin, the id bits make every
+                    # candidate unique, and the winner's EXACT
+                    # attributes are picked right here with masked sums
+                    # (replacing three 1M-row HBM gathers in the old
+                    # post-pass, ~4x)
+                    bits = ((jax.lax.bitcast_convert_type(t, I32)
+                             & ~_LOWM) | ((child << 4) + rowmod))
+                    cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
+                    pmin = jnp.min(cand, axis=0, keepdims=True)
+                    best = jax.lax.bitcast_convert_type(t_b, I32)
+                    better = pmin < best
 
-                    def pick(x):
-                        return jnp.sum(jnp.where(win, x, 0.0), axis=0,
-                                       keepdims=True)
+                    # the selection chain (~6 masked sums over the full
+                    # slab) only runs when this step improved SOME ray —
+                    # with nearest-first sweeping most late steps
+                    # improve nothing, so the scalar any() gate pays
+                    # for itself
+                    @pl.when(jnp.any(better))
+                    def _():
+                        win = cand == pmin           # exactly one row
 
-                    def sel(j, x):
-                        out_ref[j:j + 1, :] = jnp.where(
-                            better, pick(x), out_ref[j:j + 1, :])
+                        def pick(x):
+                            return jnp.sum(jnp.where(win, x, 0.0),
+                                           axis=0, keepdims=True)
 
-                    out_ref[0:1, :] = jax.lax.bitcast_convert_type(
-                        jnp.where(better, pmin, best), F32)
-                    if not _NOSEL:
-                        mc = 9 if wt else 12  # meta cols: tri|inst|flip
-                        sel(1, jnp.broadcast_to(t, cand.shape))
-                        sel(2, jnp.broadcast_to(u, cand.shape))
-                        sel(3, jnp.broadcast_to(v, cand.shape))
-                        sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
-                                                cand.shape))
-                        sel(5, jnp.broadcast_to(tab[:, mc + 1:mc + 2],
-                                                cand.shape))
-                        flipped = back ^ (tab[:, mc + 2:mc + 3] > 0.5)
-                        sel(6, jnp.where(flipped, 1.0, 0.0))
+                        def sel(j, x):
+                            out_ref[j:j + 1, :] = jnp.where(
+                                better, pick(x), out_ref[j:j + 1, :])
+
+                        out_ref[0:1, :] = jax.lax.bitcast_convert_type(
+                            jnp.where(better, pmin, best), F32)
+                        if not _NOSEL:
+                            mc = 9 if wt else 12  # cols: tri|inst|flip
+                            sel(1, jnp.broadcast_to(t, cand.shape))
+                            sel(2, jnp.broadcast_to(u, cand.shape))
+                            sel(3, jnp.broadcast_to(v, cand.shape))
+                            sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
+                                                    cand.shape))
+                            sel(5, jnp.broadcast_to(
+                                tab[:, mc + 1:mc + 2], cand.shape))
+                            flipped = back ^ (tab[:, mc + 2:mc + 3]
+                                              > 0.5)
+                            sel(6, jnp.where(flipped, 1.0, 0.0))
+
+                if _TSKIP:
+                    # skip packing + argmin + selection entirely when
+                    # no lane's candidate survived the window test
+                    # (tail clusters entered on a conservative box test
+                    # often produce zero in-window plane hits)
+                    @pl.when(jnp.any(ok))
+                    def _():
+                        pack_and_select()
+                else:
+                    pack_and_select()
                 # row 7: clusters swept for this block (the
                 # production-path traversal-cost counter the iteration
                 # AOV reads; the reference counts per-thread loop

@@ -144,7 +144,8 @@ class Renderer:
                     self.arrays, self.luts, self.camera, self.cfg, px,
                     py, jnp.uint32(frame_seed))
         else:
-            from .wavefront import render_samples_wavefront, tunnel_paced
+            from .wavefront import (render_samples_wavefront, tunnel_paced,
+                                    paced_iterations_per_dispatch)
 
             # big frames stream in bounded dispatches (reference
             # IterationPerFrame parity; also keeps each dispatch under
@@ -153,7 +154,7 @@ class Renderer:
             # On the tunnel EVERY frame runs chunked: a slow sub-131k-
             # pixel alpha scene can still exceed the dispatch limit in
             # one fused unbounded-iteration dispatch.
-            chunked = (8 if tunnel_paced()
+            chunked = (paced_iterations_per_dispatch() if tunnel_paced()
                        else (16 if px.shape[0] > (1 << 17) else None))
             pos, values = render_samples_wavefront(
                 self.arrays, self.luts, self.camera, self.cfg, px, py,
@@ -200,11 +201,12 @@ class Renderer:
         remaining = spp
         while remaining > 0:
             if can_fuse_wf_filtered and remaining >= fuse:
-                from .wavefront import render_samples_wavefront, \
-                    tunnel_paced
+                from .wavefront import (render_samples_wavefront,
+                                        tunnel_paced,
+                                        paced_iterations_per_dispatch)
 
                 RT = self._px.shape[0] * fuse
-                chunked = (8 if tunnel_paced()
+                chunked = (paced_iterations_per_dispatch() if tunnel_paced()
                            else (16 if RT > (1 << 17) else None))
                 pos, vals = render_samples_wavefront(
                     self.arrays, self.luts, self.camera, self.cfg,
@@ -228,15 +230,16 @@ class Renderer:
                 remaining -= fuse
                 continue
             if can_fuse_wf and remaining >= fuse:
-                from .wavefront import render_samples_wavefront, \
-                    tunnel_paced
+                from .wavefront import (render_samples_wavefront,
+                                        tunnel_paced,
+                                        paced_iterations_per_dispatch)
 
                 # spp_batch interleaves the samples in one pool pass:
                 # same-pixel rays share bundles (the coherence lever)
                 # and the radiance sum is bit-identical to sequential
                 # passes (lane seed = self.spp + sample index)
                 RT = self._px.shape[0] * fuse
-                chunked = (8 if tunnel_paced()
+                chunked = (paced_iterations_per_dispatch() if tunnel_paced()
                            else (16 if RT > (1 << 17) else None))
                 _, total = render_samples_wavefront(
                     self.arrays, self.luts, self.camera, self.cfg,

@@ -158,6 +158,16 @@ def tunnel_paced():
         return True  # can't resolve: assume tunnel, pacing is cheap
 
 
+def paced_iterations_per_dispatch():
+    """Pool iterations per bounded dispatch on the paced tunnel.
+    Sized so a dispatch stays well inside the proven-safe occupancy
+    envelope (~29 s busy + 2 s idle ran clean, docs/KNOWN_ISSUES.md):
+    grouped-sweep pool iterations run ~0.8-1.3 s at 1080p, so 16
+    iterations ≈ 13-21 s busy per dispatch and the fixed 2 s idle gap
+    costs ~10% instead of the old 8-iteration ~20%."""
+    return int(_os.environ.get("DCRT_WF_PACED_ITERS", "16"))
+
+
 def dispatch_pause_s():
     """Idle gap to insert between chunked dispatches (0 off-tunnel)."""
     if not tunnel_paced():
@@ -199,13 +209,17 @@ def _pool_capacity(R, pool_size):
     # a pool ~R/4 keeps occupancy high while idle lanes refill
     # (measured at 256^2 glossy Cornell: P=R/4 runs 90.8 ms/spp vs
     # 167 at P=2R — within 1.12x of the megakernel's 80.9);
-    # clamped to [2^13, 2^18] so tiny frames still fill the vector
-    # units and huge frames cap at the reference's own 262,144-path
-    # pool (WavefrontPathTracer.cpp:25-28) — with pool sorting the
-    # traversal no longer pays for idle lanes, and fat pools amortize
-    # the fixed per-dispatch cost over 4x more rays at 1080p
+    # clamped to [2^13, cap]. The reference stops at a 262,144-path
+    # pool (WavefrontPathTracer.cpp:25-28) because its queues live in
+    # fixed GPU buffers; HBM has no such reason — at 1080p a fatter
+    # pool packs MORE DISTINCT PIXELS into flight, so the sorted
+    # bounce bundles cover a denser image footprint with tighter
+    # frusta (the per-iteration sweep cost at a fixed pool was
+    # measured to GROW with resolution for exactly this sparsity
+    # reason). DCRT_POOL_LOG2 overrides the cap.
+    cap = int(_os.environ.get("DCRT_POOL_LOG2", "18"))
     quarter = max(R // 4, 1)
-    P = 1 << max(13, min(18, quarter.bit_length() - 1))
+    P = 1 << max(13, min(cap, quarter.bit_length() - 1))
     return min(P, 1 << (R - 1).bit_length())
 
 

@@ -22,3 +22,15 @@ if not os.environ.get("DCRT_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # persistent XLA compile cache: the suite's wall time is dominated
+    # by recompiling the same ~100 programs every run (17 min cold vs
+    # minutes warm). Keys are content-addressed (computation +
+    # jaxlib/platform), so edits invalidate exactly the programs they
+    # change. Disable with DCRT_TEST_NO_CACHE=1.
+    if not os.environ.get("DCRT_TEST_NO_CACHE"):
+        _cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_compile_cache")
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -41,6 +41,7 @@ def test_distributed_matches_single_device(setup, spp_parallel):
     assert dr.spp == 4
 
 
+@pytest.mark.slow
 def test_distributed_wavefront_matches_single_device(setup):
     """Wavefront-on-mesh (each band drains its own pool) must match the
     single-device wavefront render exactly."""

@@ -265,8 +265,21 @@ def test_wavefront_filtered_spp_batch_matches_sequential():
     r2 = Renderer(scene, cam, **kw)
     img2 = np.asarray(r2.render(spp=4, samples_per_dispatch=1))
     np.testing.assert_allclose(img1, img2, atol=1e-5)
-    r3 = Renderer(scene, cam, width=48, height=32, max_bounce=2,
-                  integrator="megakernel", filter_type="gaussian",
-                  filter_radius=1.5)
+
+
+@pytest.mark.slow
+def test_wavefront_filtered_spp_batch_matches_megakernel():
+    """Cross-integrator half of the splatting-film gate (the fast half
+    above checks fused == sequential within the wavefront)."""
+    from directcomputeraytracing_tpu.integrator.renderer import (
+        Renderer,
+    )
+
+    scene, cam = cornell_box(light="area")
+    kw = dict(width=48, height=32, max_bounce=2,
+              filter_type="gaussian", filter_radius=1.5)
+    r1 = Renderer(scene, cam, integrator="wavefront", **kw)
+    img1 = np.asarray(r1.render(spp=4, samples_per_dispatch=4))
+    r3 = Renderer(scene, cam, integrator="megakernel", **kw)
     img3 = np.asarray(r3.render(spp=4))
     np.testing.assert_allclose(img1, img3, atol=1e-4)

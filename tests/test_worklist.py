@@ -301,6 +301,7 @@ def test_watertight_on_pallas_matches_stack(grid_scene):
     np.testing.assert_array_equal(np.asarray(ob), np.asarray(oa))
 
 
+@pytest.mark.slow
 def test_rows_path_matches_columns(grid_scene):
     """The rows-layout fast path (rays as (3, R) component rows) must
     produce bit-identical results to the (R, 3) path — it only skips
@@ -374,6 +375,7 @@ def test_t_cap_slab_window_contract(grid_scene):
                                   np.asarray(full.triangle)[low])
 
 
+@pytest.mark.slow
 def test_slab_helper_exact_vs_single_cast(grid_scene):
     """intersect_closest_slab (capped phase 1 + floored opaque phase 2
     on the compacted remainder) must reproduce the single full cast
@@ -426,6 +428,7 @@ def test_slab_helper_three_phases_exact(grid_scene):
                                   np.asarray(full.triangle)[m])
 
 
+@pytest.mark.slow
 def test_instanced_slab_helper_exact(monkeypatch):
     """intersect_closest_slab through the BLAS-sharing instanced tables
     (mesh-local slabs, per-item ray re-transform) must reproduce the
