@@ -283,7 +283,11 @@ def cornell_metrics():
 def standin_small_metrics():
     """Megakernel-vs-wavefront RMSE gate on the 212k-tri Mitsuba XML
     stand-in at a reduced size (the two integrators are mutual
-    oracles; BASELINE.md headline scene)."""
+    oracles; BASELINE.md headline scene). Gated: per-sample arithmetic
+    is identical op-for-op, the residual is scatter-add association
+    (documented at wavefront.py spp_batch notes), so RMSE beyond the
+    fp-association envelope 1e-3 is a real stream divergence and the
+    row reports a loud gate failure."""
     scene, cam = _standin_scene()
     rm = _Renderer()(scene, cam, width=256, height=144, max_bounce=3,
                      any_hit=True)
@@ -291,8 +295,31 @@ def standin_small_metrics():
                      any_hit=True, integrator="wavefront")
     im = np.asarray(rm.render(spp=8, seed_mode="fixed"))
     iw = np.asarray(rw.render(spp=8, seed_mode="fixed"))
-    _post({"standin_rmse_mk_vs_wf":
-           float(np.sqrt(np.mean((im - iw) ** 2)))})
+    rmse = float(np.sqrt(np.mean((im - iw) ** 2)))
+    _post({"standin_rmse_mk_vs_wf": rmse})
+    if rmse > 1e-3:
+        _post({"standin_rmse_mk_vs_wf_GATE_FAILED": rmse})
+
+
+def standin_oracle_metrics():
+    """Cross-algorithm image oracle ON THE PRODUCTION TRAVERSAL PATH:
+    the 212k-tri stand-in rendered small with the default (work-list)
+    traversal vs the brute dense sweep. The cornell-based
+    render_vs_brute row cannot see work-list bugs — `auto` resolves to
+    the dense kernel below 2048 tris — so this row is the render-level
+    gate over the path every real scene uses (reference analogue: CPU
+    TraceRay vs GPU agreement, Source/SceneRayTrace.cpp:58-208)."""
+    scene, cam = _standin_scene()
+    img = {}
+    for backend in ("auto", "brute"):
+        r = _Renderer()(scene, cam, width=192, height=108, max_bounce=3,
+                        any_hit=True, traversal_backend=backend,
+                        pool_backend=backend if backend != "auto" else "")
+        img[backend] = np.asarray(r.render(spp=4, seed_mode="fixed"))
+    rmse = float(np.sqrt(np.mean((img["auto"] - img["brute"]) ** 2)))
+    _post({"standin_render_vs_brute_rmse": rmse})
+    if rmse > 1e-3:
+        _post({"standin_render_vs_brute_GATE_FAILED": rmse})
 
 
 def _Renderer():
@@ -343,6 +370,19 @@ def standin_1080p_metrics():
     r.render(spp=8)
     _post({"standin1080p_wavefront_ms_per_spp":
            (time.perf_counter() - t0) * 1e3 / 8.0})
+    # where the time went: iteration/dispatch/pause counts and the
+    # resolved pool backend from the drain just timed (the reference's
+    # queue-counter readback telemetry, WavefrontPathTracer.cpp:476-523)
+    from directcomputeraytracing_tpu.integrator import wavefront as wf
+
+    st = dict(wf.LAST_STATS)
+    chunk_s = st.pop("chunk_s", [])
+    st.pop("cursor", None)
+    if chunk_s:
+        st["chunk_s_first"] = chunk_s[0]
+        st["chunk_s_max"] = max(chunk_s)
+        st["chunk_s_mean"] = round(sum(chunk_s) / len(chunk_s), 3)
+    _post({f"wf1080_{k}": v for k, v in st.items()})
 
 
 def _worker():
@@ -382,6 +422,7 @@ def _worker():
         ("traversal_1m",
          lambda: traversal_metrics(include_1m=True, only_1m=True), 240),
         ("standin_small", standin_small_metrics, 180),
+        ("standin_oracle", standin_oracle_metrics, 150),
         # 1080p wavefront: compile ~5 min + 16 spp; give it the rest of
         # the budget but only start with >=14 min in hand
         ("standin_1080p", standin_1080p_metrics, 840),

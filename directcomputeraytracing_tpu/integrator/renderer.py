@@ -235,9 +235,10 @@ class Renderer:
                                         paced_iterations_per_dispatch)
 
                 # spp_batch interleaves the samples in one pool pass:
-                # same-pixel rays share bundles (the coherence lever)
-                # and the radiance sum is bit-identical to sequential
-                # passes (lane seed = self.spp + sample index)
+                # same-pixel rays share bundles (the coherence lever);
+                # per-path arithmetic matches sequential passes op-for-
+                # op (lane seed = self.spp + sample index), summed per
+                # pixel in lane retirement order (fp association only)
                 RT = self._px.shape[0] * fuse
                 chunked = (paced_iterations_per_dispatch() if tunnel_paced()
                            else (16 if RT > (1 << 17) else None))

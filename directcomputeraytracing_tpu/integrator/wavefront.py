@@ -57,6 +57,14 @@ F32 = jnp.float32
 I32 = jnp.int32
 U32 = jnp.uint32
 
+# Telemetry from the most recent chunked render_samples_wavefront call
+# (the reference reads the same facts back from its queue-counter
+# staging ring, Source/WavefrontPathTracer.cpp:476-523): iteration
+# count, dispatch count, pause time, resolved pool backend, per-chunk
+# wall times. bench.py copies this into its JSON `extra` so driver runs
+# record WHERE the headline time goes, not just the total.
+LAST_STATS = {}
+
 
 def _sel(mask, new, old):
     if new.ndim > mask.ndim:
@@ -101,8 +109,12 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
     None = one fused dispatch (fastest when it fits).
 
     spp_batch > 1 interleaves S progressive samples in ONE pool pass
-    (lane seed = frame_seed + sample index, so the radiance sum is
-    bit-identical to S sequential passes). Beyond amortizing sorts and
+    (lane seed = frame_seed + sample index, so every (pixel, sample)
+    path's ARITHMETIC is identical op-for-op to S sequential passes;
+    the per-pixel radiance sum can differ from the sequential order by
+    fp addition association only — samples of one pixel retire in lane
+    order, not sample order — an envelope bench.py gates at RMSE 1e-3
+    on the stand-in scene). Beyond amortizing sorts and
     dispatch latency S-fold, this is the TPU coherence lever: cursor
     slots go pixel-major, so a refilled ray bundle holds S samples of
     each pixel instead of one — same-origin rays that the coherence
@@ -121,12 +133,25 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
     state = _init_state(scene, luts, cam, cfg, pixel_x, pixel_y,
                         frame_seed, pool_size, spp_batch, sample_slots)
     pause = dispatch_pause_s()
+    stats = {"iters": 0, "dispatches": 0, "pause_s": 0.0,
+             "chunk_s": [], "cursor": [],
+             "pool_backend": pool_cast_backend(cfg),
+             "pool_size": int(state.busy.shape[0]),
+             "spp_batch": int(spp_batch), "items": int(RT)}
+    LAST_STATS.clear()
+    LAST_STATS.update(stats)
     while True:
-        state = _chunk(scene, luts, cam, cfg, pixel_x, pixel_y,
-                       frame_seed, state, pool_size,
-                       int(iterations_per_dispatch), spp_batch,
-                       sample_slots)
-        if not (int(state.cursor) < RT or bool(jnp.any(state.busy))):
+        t0 = time.perf_counter()
+        state, it = _chunk(scene, luts, cam, cfg, pixel_x, pixel_y,
+                           frame_seed, state, pool_size,
+                           int(iterations_per_dispatch), spp_batch,
+                           sample_slots)
+        done = not (int(state.cursor) < RT or bool(jnp.any(state.busy)))
+        stats["chunk_s"].append(round(time.perf_counter() - t0, 3))
+        stats["cursor"].append(int(state.cursor))
+        stats["iters"] += int(it)
+        stats["dispatches"] += 1
+        if done:
             break
         if pause:
             # through the axon tunnel the chip must go IDLE between
@@ -136,6 +161,9 @@ def render_samples_wavefront(scene, luts, cam, cfg: RenderConfig, pixel_x,
             # sleeps completes (docs/KNOWN_ISSUES.md, measured on the
             # 1080p stand-in drain)
             time.sleep(pause)
+            stats["pause_s"] += pause
+    stats["pause_s"] = round(stats["pause_s"], 1)
+    LAST_STATS.update(stats)
     return state.out_pos, state.out_val
 
 
@@ -187,6 +215,9 @@ def _init_state(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed,
                                    "spp_batch", "sample_slots"))
 def _chunk(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, state,
            pool_size, max_iters, spp_batch=1, sample_slots=False):
+    """One bounded dispatch of the streaming loop. Returns
+    (state, iterations_executed) — the count feeds LAST_STATS, the
+    analogue of the reference's queue-counter readback telemetry."""
     cond, step = _loop_fns(scene, luts, cam, cfg, pixel_x, pixel_y,
                            frame_seed, pixel_x.shape[0], spp_batch,
                            sample_slots)
@@ -199,8 +230,8 @@ def _chunk(scene, luts, cam, cfg, pixel_x, pixel_y, frame_seed, state,
         s, j = carry
         return step(s), j + 1
 
-    out, _ = jax.lax.while_loop(cond2, step2, (state, jnp.int32(0)))
-    return out
+    out, it = jax.lax.while_loop(cond2, step2, (state, jnp.int32(0)))
+    return out, it
 
 
 def _pool_capacity(R, pool_size):

@@ -35,7 +35,7 @@ S = 8
 state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py,
                        jnp.uint32(0), None, S)
 for _ in range(6):
-    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+    state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                       state, None, 1, S)
 busy = np.asarray(state.busy)
 arrays = r.arrays

@@ -32,7 +32,7 @@ print(f"init: {time.perf_counter()-t0:.1f} s  pool={state.busy.shape[0]}",
 it = 0
 while True:
     t0 = time.perf_counter()
-    state = wf._chunk(r.arrays, r.luts, cam, r.cfg, px, py,
+    state, _it = wf._chunk(r.arrays, r.luts, cam, r.cfg, px, py,
                       jnp.uint32(0), state, None, ipd)
     state = jax.block_until_ready(state)
     it += ipd

@@ -27,7 +27,7 @@ cfg = r.cfg
 state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py,
                        jnp.uint32(0), None, 8)
 for _ in range(2):
-    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+    state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                       state, None, 4, 8)
 state = jax.block_until_ready(state)
 print("busy", int(state.busy.sum()), flush=True)

@@ -28,7 +28,7 @@ state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py,
                        jnp.uint32(0), None, S)
 t0 = time.perf_counter()
 for _ in range(2):
-    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+    state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                       state, None, 4, S)
 state = jax.block_until_ready(state)
 print(f"warm: {time.perf_counter()-t0:.1f} s "

@@ -28,14 +28,14 @@ cfg = r.cfg
 state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0))
 for k in range(2):
     t0 = time.perf_counter()
-    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+    state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                       state, None, 4)
     state = jax.block_until_ready(state)
     print(f"warm chunk {k} (4 it): {time.perf_counter()-t0:6.1f} s  "
           f"busy={int(state.busy.sum())}", flush=True)
 for k in range(2):
     t0 = time.perf_counter()
-    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+    state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                       state, None, 4)
     state = jax.block_until_ready(state)
     dt = time.perf_counter() - t0
@@ -107,7 +107,7 @@ for pool in (65536,):
     it, t_all, t0c = 0, time.perf_counter(), None
     while True:
         t0 = time.perf_counter()
-        st = wf._chunk(r.arrays, r.luts, cam, cfg, px, py,
+        st, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py,
                        jnp.uint32(0), st, pool, 8)
         st = jax.block_until_ready(st)
         if t0c is None:

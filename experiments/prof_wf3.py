@@ -40,7 +40,7 @@ print(f"S={S} ipd={ipd} pool={state.busy.shape[0]} RT={RT} "
 it, t_all, t0c, nch = 0, time.perf_counter(), None, 0
 while True:
     t0 = time.perf_counter()
-    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+    state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                       state, pool, ipd, S)
     state = jax.block_until_ready(state)
     dt = time.perf_counter() - t0

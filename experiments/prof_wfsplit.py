@@ -36,7 +36,7 @@ print("pool backend:", pool_cast_backend(cfg), flush=True)
 t0 = time.perf_counter()
 state = wf._init_state(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                        None, S)
-state = wf._chunk(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+state, _it = wf._chunk(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                   state, None, 4, S)
 state = jax.block_until_ready(state)
 print(f"compile+4 iters: {time.perf_counter()-t0:.1f}s", flush=True)
@@ -44,7 +44,7 @@ print(f"compile+4 iters: {time.perf_counter()-t0:.1f}s", flush=True)
 # warm into steady state (busy near pool capacity)
 for k in range(5):
     t0 = time.perf_counter()
-    state = wf._chunk(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+    state, _it = wf._chunk(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                       state, None, 8, S)
     float(state.out_val.sum())
     dt = time.perf_counter() - t0

@@ -54,7 +54,7 @@ print(f"init: {time.perf_counter()-t0:.1f} s", flush=True)
 # (ipd=4 matches the prof_1080b compile-cache signature)
 for k in range(2):
     t0 = time.perf_counter()
-    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+    state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                       state, None, 4)
     state = jax.block_until_ready(state)
     print(f"warmup chunk {k}: {time.perf_counter()-t0:.1f} s "

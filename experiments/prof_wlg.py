@@ -64,7 +64,7 @@ px, py = r._px, r._py
 state = wf._init_state(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                        None, 1)
 t0 = time.perf_counter()
-state = wf._chunk(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+state, _it = wf._chunk(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                   state, None, warm, 1)
 state = jax.block_until_ready(state)
 print(f"warmed pool {state.busy.shape[0]} lanes, "

@@ -22,7 +22,7 @@ arrays, cfg = r.arrays, r.cfg
 px, py = r._px, r._py
 state = wf._init_state(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                        None, 1)
-state = wf._chunk(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
+state, _it = wf._chunk(arrays, r.luts, cam, cfg, px, py, jnp.uint32(0),
                   state, None, 6, 1)
 state = jax.block_until_ready(state)
 busy, o, d = wf._permute_pool(arrays, state.busy, state.ray_o,

@@ -31,14 +31,14 @@ for pool_bk in ("", "pallas_wl"):
     t0 = time.perf_counter()
     state = wf._init_state(r.arrays, r.luts, cam, cfg, px, py,
                            jnp.uint32(0), None, S)
-    state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py,
+    state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py,
                       jnp.uint32(0), state, None, 4, S)
     state = jax.block_until_ready(state)
     print(f"  compile+4 iters: {time.perf_counter()-t0:.1f}s",
           flush=True)
     for k in range(3):
         t0 = time.perf_counter()
-        state = wf._chunk(r.arrays, r.luts, cam, cfg, px, py,
+        state, _it = wf._chunk(r.arrays, r.luts, cam, cfg, px, py,
                           jnp.uint32(0), state, None, 8, S)
         float(state.out_val.sum())
         dt = time.perf_counter() - t0
