@@ -385,6 +385,28 @@ def standin_1080p_metrics():
     _post({f"wf1080_{k}": v for k, v in st.items()})
 
 
+def standin_1080p_megakernel_metrics():
+    """1080p megakernel usability row (VERDICT r4 #5): the reference
+    renders any resolution through 512^2 tile round-robin
+    (Source/MegakernelPathTracer.cpp:131-157); here one compiled
+    chunk program is reused across padded same-shape pixel chunks.
+    Records the compile(+first-spp) wall and the warm ms/spp; the
+    persistent .jax_compile_cache (primed by this row's own first
+    run) makes later cold starts load instead of compile."""
+    scene, cam = _standin_scene()
+    r = _Renderer()(scene, cam, width=1920, height=1080,
+                    max_bounce=4, any_hit=True)
+    t0 = time.perf_counter()
+    r.render(spp=1)
+    _post({"standin1080p_mk_compile_warm_s": time.perf_counter() - t0})
+    if _remaining() < 240:
+        return
+    t0 = time.perf_counter()
+    r.render(spp=1)
+    _post({"standin1080p_megakernel_ms_per_spp":
+           (time.perf_counter() - t0) * 1e3})
+
+
 def _worker():
     # single-slice 4M-ray casts for the traversal rows: the camera
     # workloads fit one work-list slice (grid cap 49152), which skips
@@ -426,6 +448,7 @@ def _worker():
         # 1080p wavefront: compile ~5 min + 16 spp; give it the rest of
         # the budget but only start with >=14 min in hand
         ("standin_1080p", standin_1080p_metrics, 840),
+        ("standin_1080p_mk", standin_1080p_megakernel_metrics, 420),
     ]
     for name, fn, min_budget in rows:
         if name == "traversal_1m" and "mrays_1M_combined" in _results:

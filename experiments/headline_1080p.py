@@ -67,7 +67,9 @@ while r.spp < target_spp:
     log.flush()
 
 img = r.image()
-save_image(ckpt + ".png", img)
+# gallery PNG goes through the real display chain (auto-exposure +
+# Reinhard + sRGB), matching the reference's on-screen result
+save_image(ckpt + ".png", r.postprocessed(), srgb=False)
 print(f"saved {ckpt}.png at {r.spp} spp", flush=True)
 
 # --- RMSE vs a half-res megakernel oracle (independent integrator) ---
