@@ -91,6 +91,10 @@ PAIR = int(_os.environ.get("DCRT_WL_PAIR", "2"))
 # one-shot per-item re-key of the remaining cluster worklist against
 # the tightened per-ray best-t (closest kernel; see body comment)
 _REKEY = _os.environ.get("DCRT_WL_REKEY", "0") == "1"
+# per-128-lane-group gating of the bundle closest sweep (shared
+# worklist, groups whose best-t bound beats a cluster's entry skip its
+# vector work; see _wl_closest_kernel)
+_GG = _os.environ.get("DCRT_WL_GG", "0") == "1"
 # gate the pack+argmin+selection phase on any in-window candidate
 _TSKIP = _os.environ.get("DCRT_WL_TSKIP", "0") == "1"
                              # clusters fused per sweep iteration (1|2)
@@ -671,9 +675,9 @@ def _rows_pair():
     return rows, rows & (CLUSTER_SIZE - 1)
 
 
-def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
-                       od_ref, texp_ref, tmin_ref, out_ref, mask_scr,
-                       term_scr):
+def _wl_closest_kernel(wt, gg, bf_ref, sup_ref, tent_ref, cbox_ref,
+                       slab_ref, od_ref, texp_ref, tmin_ref, out_ref,
+                       mask_scr, term_scr):
     i = pl.program_id(0)
     item = bf_ref[i]
     first = (item & 2) != 0
@@ -684,6 +688,13 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
     # check is then scalar-vs-scalar.
     # out_ref[0] is the bit-packed best (t | child | row): as f32 it
     # still compares like t (positive floats are bit-monotone).
+    # gg (group gating): each 128-lane group skips a picked cluster
+    # whose entry lies beyond that GROUP's own best-t bound — the
+    # shared worklist still sweeps nearest-first once per cluster (no
+    # wlg-style per-group duplication), but a straggler ray only keeps
+    # its OWN group's vector work alive, not the whole bundle's (the
+    # round-3 census: a cluster is needed by ~1.9 of 8 groups on
+    # bounced pools; coherent tiles also split across sub-frusta).
     live = first | (term_scr[0] > tent_ref[i])
 
     @pl.when(((item & 1) == 1) & live)
@@ -752,76 +763,96 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             @pl.when(~stop)
             def _():
                 tab = _pair_tab(slab_ref, cs_)
-                t_b = out_ref[0:1, :]
-                t, u, v, back, ok = _isect_rows(
-                    tab, ox, oy, oz, dx, dy, dz, t_min, t_b,
-                    watertight=wt)
                 child, okv = _seg_child_ok(rows, cs_, vs_)
-                if okv is not None:
-                    ok = ok & okv
-
-                def pack_and_select():
-                    # pack (t & ~0x1FF) | (child << 4) | row: the
-                    # integer min IS the argmin, the id bits make every
-                    # candidate unique, and the winner's EXACT
-                    # attributes are picked right here with masked sums
-                    # (replacing three 1M-row HBM gathers in the old
-                    # post-pass, ~4x)
-                    bits = ((jax.lax.bitcast_convert_type(t, I32)
-                             & ~_LOWM) | ((child << 4) + rowmod))
-                    cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
-                    pmin = jnp.min(cand, axis=0, keepdims=True)
-                    best = jax.lax.bitcast_convert_type(t_b, I32)
-                    better = pmin < best
-
-                    # the selection chain (~6 masked sums over the full
-                    # slab) only runs when this step improved SOME ray —
-                    # with nearest-first sweeping most late steps
-                    # improve nothing, so the scalar any() gate pays
-                    # for itself
-                    @pl.when(jnp.any(better))
-                    def _():
-                        win = cand == pmin           # exactly one row
-
-                        def pick(x):
-                            return jnp.sum(jnp.where(win, x, 0.0),
-                                           axis=0, keepdims=True)
-
-                        def sel(j, x):
-                            out_ref[j:j + 1, :] = jnp.where(
-                                better, pick(x), out_ref[j:j + 1, :])
-
-                        out_ref[0:1, :] = jax.lax.bitcast_convert_type(
-                            jnp.where(better, pmin, best), F32)
-                        if not _NOSEL:
-                            mc = 9 if wt else 12  # cols: tri|inst|flip
-                            sel(1, jnp.broadcast_to(t, cand.shape))
-                            sel(2, jnp.broadcast_to(u, cand.shape))
-                            sel(3, jnp.broadcast_to(v, cand.shape))
-                            sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
-                                                    cand.shape))
-                            sel(5, jnp.broadcast_to(
-                                tab[:, mc + 1:mc + 2], cand.shape))
-                            flipped = back ^ (tab[:, mc + 2:mc + 3]
-                                              > 0.5)
-                            sel(6, jnp.where(flipped, 1.0, 0.0))
-
-                if _TSKIP:
-                    # skip packing + argmin + selection entirely when
-                    # no lane's candidate survived the window test
-                    # (tail clusters entered on a conservative box test
-                    # often produce zero in-window plane hits)
-                    @pl.when(jnp.any(ok))
-                    def _():
-                        pack_and_select()
-                else:
-                    pack_and_select()
                 # row 7: clusters swept for this block (the
                 # production-path traversal-cost counter the iteration
                 # AOV reads; the reference counts per-thread loop
                 # iterations, MegakernelPathTracing.hlsl:286-288)
                 swept = sum(jnp.where(vv, 1.0, 0.0) for vv in vs_)
-                out_ref[7:8, :] = out_ref[7:8, :] + swept
+
+                def sweep_cols(sl):
+                    t_b = out_ref[0:1, sl]
+                    t, u, v, back, ok = _isect_rows(
+                        tab, ox[:, sl], oy[:, sl], oz[:, sl],
+                        dx[:, sl], dy[:, sl], dz[:, sl], t_min, t_b,
+                        watertight=wt)
+                    if okv is not None:
+                        ok = ok & okv
+
+                    def pack_and_select():
+                        # pack (t & ~0x1FF) | (child << 4) | row: the
+                        # integer min IS the argmin, the id bits make
+                        # every candidate unique, and the winner's
+                        # EXACT attributes are picked right here with
+                        # masked sums (replacing three 1M-row HBM
+                        # gathers in the old post-pass, ~4x)
+                        bits = ((jax.lax.bitcast_convert_type(t, I32)
+                                 & ~_LOWM) | ((child << 4) + rowmod))
+                        cand = jnp.where(ok, bits,
+                                         jnp.int32(0x7FFFFFFF))
+                        pmin = jnp.min(cand, axis=0, keepdims=True)
+                        best = jax.lax.bitcast_convert_type(t_b, I32)
+                        better = pmin < best
+
+                        # the selection chain (~6 masked sums over the
+                        # full slab) only runs when this step improved
+                        # SOME ray — with nearest-first sweeping most
+                        # late steps improve nothing, so the scalar
+                        # any() gate pays for itself
+                        @pl.when(jnp.any(better))
+                        def _():
+                            win = cand == pmin       # exactly one row
+
+                            def pick(x):
+                                return jnp.sum(jnp.where(win, x, 0.0),
+                                               axis=0, keepdims=True)
+
+                            def sel(j, x):
+                                out_ref[j:j + 1, sl] = jnp.where(
+                                    better, pick(x),
+                                    out_ref[j:j + 1, sl])
+
+                            out_ref[0:1, sl] = \
+                                jax.lax.bitcast_convert_type(
+                                    jnp.where(better, pmin, best), F32)
+                            if not _NOSEL:
+                                mc = 9 if wt else 12  # tri|inst|flip
+                                sel(1, jnp.broadcast_to(t, cand.shape))
+                                sel(2, jnp.broadcast_to(u, cand.shape))
+                                sel(3, jnp.broadcast_to(v, cand.shape))
+                                sel(4, jnp.broadcast_to(
+                                    tab[:, mc:mc + 1], cand.shape))
+                                sel(5, jnp.broadcast_to(
+                                    tab[:, mc + 1:mc + 2], cand.shape))
+                                flipped = back ^ (tab[:, mc + 2:mc + 3]
+                                                  > 0.5)
+                                sel(6, jnp.where(flipped, 1.0, 0.0))
+
+                    if _TSKIP:
+                        # skip packing + argmin + selection entirely
+                        # when no lane's candidate survived the window
+                        # test (tail clusters entered on a conservative
+                        # box test often produce zero in-window plane
+                        # hits)
+                        @pl.when(jnp.any(ok))
+                        def _():
+                            pack_and_select()
+                    else:
+                        pack_and_select()
+                    out_ref[7:8, sl] = out_ref[7:8, sl] + swept
+
+                if gg:
+                    kbits = k_1 & ~_LOWM
+                    for g in range(GN):
+                        slg = slice(g * GL, (g + 1) * GL)
+                        bnd_g = jnp.max(jax.lax.bitcast_convert_type(
+                            out_ref[0:1, slg], I32))
+
+                        @pl.when(kbits < bnd_g)
+                        def _(slg=slg):
+                            sweep_cols(slg)
+                else:
+                    sweep_cols(slice(None))
 
             return r + PAIR, stop.astype(I32)
 
@@ -832,14 +863,16 @@ def _wl_closest_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             term_scr[0] = jnp.max(out_ref[0:1, :])
 
 
-def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
-                   od_ref, tmax_ref, tmin_ref, occ_ref, mask_scr,
-                   term_scr):
+def _wl_any_kernel(wt, gg, bf_ref, sup_ref, tent_ref, cbox_ref,
+                   slab_ref, od_ref, tmax_ref, tmin_ref, occ_ref,
+                   mask_scr, term_scr):
     i = pl.program_id(0)
     item = bf_ref[i]
     first = (item & 2) != 0
     # all-occluded short circuit, cached as an SMEM scalar (see the
-    # closest kernel)
+    # closest kernel). gg: fully-occluded 128-lane groups skip a
+    # cluster's vector work under a scalar pl.when (binary analogue of
+    # the closest kernel's per-group distance bound).
     live = first | (term_scr[0] < 0.5)
 
     @pl.when(((item & 1) == 1) & live)
@@ -873,14 +906,29 @@ def _wl_any_kernel(wt, bf_ref, sup_ref, tent_ref, cbox_ref, slab_ref,
             r, _ = c
             cs_, vs_, _k1 = _pick_clusters(mask_scr, iota)
             tab = _pair_tab(slab_ref, cs_)
-            _, _, _, _, ok = _isect_rows(
-                tab, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                watertight=wt)
             _, okv = _seg_child_ok(rows, cs_, vs_)
-            if okv is not None:
-                ok = ok & okv
-            occ_ref[0:1, :] = jnp.maximum(occ_ref[0:1, :], jnp.where(
-                jnp.any(ok, axis=0, keepdims=True), 1.0, 0.0))
+
+            def sweep_cols(sl):
+                _, _, _, _, ok = _isect_rows(
+                    tab, ox[:, sl], oy[:, sl], oz[:, sl], dx[:, sl],
+                    dy[:, sl], dz[:, sl], t_min, t_max[:, sl],
+                    watertight=wt)
+                if okv is not None:
+                    ok = ok & okv
+                occ_ref[0:1, sl] = jnp.maximum(
+                    occ_ref[0:1, sl],
+                    jnp.where(jnp.any(ok, axis=0, keepdims=True),
+                              1.0, 0.0))
+
+            if gg:
+                for g in range(GN):
+                    slg = slice(g * GL, (g + 1) * GL)
+
+                    @pl.when(jnp.min(occ_ref[0:1, slg]) < 0.5)
+                    def _(slg=slg):
+                        sweep_cols(slg)
+            else:
+                sweep_cols(slice(None))
             all_occ = jnp.min(occ_ref[0:1, :]) > 0.5
             return r + PAIR, all_occ.astype(I32)
 
@@ -1157,13 +1205,16 @@ def _local_rays(inst_ref, od_ref):
     return ol[0], ol[1], ol[2], dl[0], dl[1], dl[2], flip
 
 
-def _wl_closest_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
-                            cbox_ref, slab_ref, inst_ref, od_ref,
-                            texp_ref, tmin_ref, out_ref, mask_scr,
-                            term_scr):
+def _wl_closest_inst_kernel(wt, gg, bf_ref, su_ref, sl_ref, it_ref,
+                            tent_ref, cbox_ref, slab_ref, inst_ref,
+                            od_ref, texp_ref, tmin_ref, out_ref,
+                            mask_scr, term_scr):
     """Instanced variant of _wl_closest_kernel: world-space cull
     against the item's per-instance child boxes, mesh-local Moeller
-    sweep on rays transformed in-kernel."""
+    sweep on rays transformed in-kernel. gg = per-128-lane-group
+    gating (see _wl_closest_kernel): instanced items are smaller and
+    more numerous (per-instance supers), so a tile's sub-frusta skip
+    even more of each other's instances."""
     i = pl.program_id(0)
     item = bf_ref[i]
     first = (item & 2) != 0
@@ -1212,48 +1263,66 @@ def _wl_closest_inst_kernel(wt, bf_ref, su_ref, sl_ref, it_ref, tent_ref,
             @pl.when(~stop)
             def _():
                 tab = _pair_tab(slab_ref, cs_)
-                t_b = out_ref[0:1, :]
-                t, u, v, back, ok = _isect_rows(
-                    tab, oxl, oyl, ozl, dxl, dyl, dzl, t_min, t_b,
-                    watertight=wt)
                 child, okv = _seg_child_ok(rows2, cs_, vs_)
-                if okv is not None:
-                    ok = ok & okv
-                bits = ((jax.lax.bitcast_convert_type(t, I32) & ~_LOWM)
-                        | ((child << 4) + rowmod))
-                cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
-                pmin = jnp.min(cand, axis=0, keepdims=True)
-                best = jax.lax.bitcast_convert_type(t_b, I32)
-                better = pmin < best
-
-                @pl.when(jnp.any(better))
-                def _():
-                    win = cand == pmin
-
-                    def pick(x):
-                        return jnp.sum(jnp.where(win, x, 0.0), axis=0,
-                                       keepdims=True)
-
-                    def sel(j, x):
-                        out_ref[j:j + 1, :] = jnp.where(
-                            better, pick(x), out_ref[j:j + 1, :])
-
-                    out_ref[0:1, :] = jax.lax.bitcast_convert_type(
-                        jnp.where(better, pmin, best), F32)
-                    mc = 9 if wt else 12       # tri-id col
-                    sel(1, jnp.broadcast_to(t, cand.shape))
-                    sel(2, jnp.broadcast_to(u, cand.shape))
-                    sel(3, jnp.broadcast_to(v, cand.shape))
-                    sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
-                                            cand.shape))
-                    # instance is the item's (scalar); facing flips
-                    # with a negative-determinant instance transform
-                    out_ref[5:6, :] = jnp.where(better, inst_f,
-                                                out_ref[5:6, :])
-                    flipped = back ^ flip
-                    sel(6, jnp.where(flipped, 1.0, 0.0))
                 swept = sum(jnp.where(vv, 1.0, 0.0) for vv in vs_)
-                out_ref[7:8, :] = out_ref[7:8, :] + swept
+
+                def sweep_cols(sl):
+                    t_b = out_ref[0:1, sl]
+                    t, u, v, back, ok = _isect_rows(
+                        tab, oxl[:, sl], oyl[:, sl], ozl[:, sl],
+                        dxl[:, sl], dyl[:, sl], dzl[:, sl], t_min,
+                        t_b, watertight=wt)
+                    if okv is not None:
+                        ok = ok & okv
+                    bits = ((jax.lax.bitcast_convert_type(t, I32)
+                             & ~_LOWM) | ((child << 4) + rowmod))
+                    cand = jnp.where(ok, bits, jnp.int32(0x7FFFFFFF))
+                    pmin = jnp.min(cand, axis=0, keepdims=True)
+                    best = jax.lax.bitcast_convert_type(t_b, I32)
+                    better = pmin < best
+
+                    @pl.when(jnp.any(better))
+                    def _():
+                        win = cand == pmin
+
+                        def pick(x):
+                            return jnp.sum(jnp.where(win, x, 0.0),
+                                           axis=0, keepdims=True)
+
+                        def sel(j, x):
+                            out_ref[j:j + 1, sl] = jnp.where(
+                                better, pick(x), out_ref[j:j + 1, sl])
+
+                        out_ref[0:1, sl] = \
+                            jax.lax.bitcast_convert_type(
+                                jnp.where(better, pmin, best), F32)
+                        mc = 9 if wt else 12       # tri-id col
+                        sel(1, jnp.broadcast_to(t, cand.shape))
+                        sel(2, jnp.broadcast_to(u, cand.shape))
+                        sel(3, jnp.broadcast_to(v, cand.shape))
+                        sel(4, jnp.broadcast_to(tab[:, mc:mc + 1],
+                                                cand.shape))
+                        # instance is the item's (scalar); facing
+                        # flips with a negative-determinant instance
+                        # transform
+                        out_ref[5:6, sl] = jnp.where(better, inst_f,
+                                                     out_ref[5:6, sl])
+                        flipped = back ^ flip      # flip: (1, 1) bcast
+                        sel(6, jnp.where(flipped, 1.0, 0.0))
+                    out_ref[7:8, sl] = out_ref[7:8, sl] + swept
+
+                if gg:
+                    kbits = k_1 & ~_LOWM
+                    for g in range(GN):
+                        slg = slice(g * GL, (g + 1) * GL)
+                        bnd_g = jnp.max(jax.lax.bitcast_convert_type(
+                            out_ref[0:1, slg], I32))
+
+                        @pl.when(kbits < bnd_g)
+                        def _(slg=slg):
+                            sweep_cols(slg)
+                else:
+                    sweep_cols(slice(None))
 
             return r + PAIR, stop.astype(I32)
 
@@ -1638,7 +1707,8 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
                 scratch_shapes=scratch,
             )
             out = pl.pallas_call(
-                functools.partial(_wl_closest_inst_kernel, watertight),
+                functools.partial(_wl_closest_inst_kernel, watertight,
+                                  _GG),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((8, rp), F32),
                 interpret=interpret,
@@ -1660,10 +1730,12 @@ def _closest_impl(scene, origin, direction, t_min, interpret,
                     memory_space=pltpu.VMEM),
                 scratch_shapes=scratch,
             )
-            kern = (_wlg_closest_kernel if grouped
-                    else _wl_closest_kernel)
+            kern = (functools.partial(_wlg_closest_kernel, watertight)
+                    if grouped
+                    else functools.partial(_wl_closest_kernel,
+                                           watertight, _GG))
             out = pl.pallas_call(
-                functools.partial(kern, watertight),
+                kern,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((8, rp), F32),
                 interpret=interpret,
@@ -1824,9 +1896,12 @@ def _any_impl(scene, origin, direction, t_max, t_min, interpret,
                     memory_space=pltpu.VMEM),
                 scratch_shapes=scratch,
             )
-            kern = _wlg_any_kernel if grouped else _wl_any_kernel
+            kern = (functools.partial(_wlg_any_kernel, watertight)
+                    if grouped
+                    else functools.partial(_wl_any_kernel, watertight,
+                                           _GG))
             occ = pl.pallas_call(
-                functools.partial(kern, watertight),
+                kern,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((1, rp), F32),
                 interpret=interpret,
