@@ -67,6 +67,18 @@ class RenderConfig:
                                         # incoherent, where the pair-
                                         # expanded sweep ("pallas_pair")
                                         # wins over the bundle sweep
+    pool_slab_march: float = -1.0       # slab marching for the POOL
+                                        # casts only (-1 = inherit
+                                        # slab_march; 0 = off; >0 =
+                                        # phase-1 window fraction).
+                                        # Separate from slab_march so
+                                        # the incoherent pool can march
+                                        # windows while the megakernel's
+                                        # coherent camera casts (where
+                                        # slabs measured 9x slower,
+                                        # docs/PERF.md) stay single-
+                                        # window
+    pool_slab_phases: int = 2
 
     @property
     def has_env_light(self):
@@ -101,6 +113,18 @@ def slab_enabled(scene, cfg, backend=None):
     resolved = _resolve_backend(scene,
                                 backend or cfg.traversal_backend)
     return resolved.startswith(("pallas_wl", "pallas_pair"))
+
+
+def pool_slab_cfg(cfg):
+    """The POOL casts' effective slab config: cfg view whose slab_march
+    is the pool-specific value (pool_slab_march; -1 inherits
+    slab_march). Lets the wavefront pool march windows while the same
+    RenderConfig's coherent megakernel casts stay single-window."""
+    if cfg.pool_slab_march < 0.0:
+        return cfg
+    return cfg.__class__(**{**cfg.__dict__,
+                            "slab_march": cfg.pool_slab_march,
+                            "slab_phases": cfg.pool_slab_phases})
 
 
 def slab_depth(scene, cfg):

@@ -47,6 +47,7 @@ from .common import (
     RenderConfig,
     offset_ray_origin,
     pool_cast_backend,
+    pool_slab_cfg as _pool_slab_cfg,
     shade_hit,
     slab_depth as _slab_depth,
     slab_enabled as _slab_enabled,
@@ -322,10 +323,12 @@ def _pool_closest(scene, cfg, busy, ray_o, ray_d, opacity_u):
     """Closest-hit cast over the pool IN LANE ORDER (the step permutes
     the whole pool into coherent key order once per iteration — see
     _permute_pool — so no per-cast sort is needed). Idle lanes cast a
-    parked far ray. With cfg.slab_march > 0 the cast marches geometric
-    distance windows (accel.traverse.intersect_closest_slab)."""
+    parked far ray. With the effective pool slab config enabled
+    (pool_slab_march / slab_march) the cast marches geometric distance
+    windows (accel.traverse.intersect_closest_slab)."""
     ray_o, ray_d = _park(busy, ray_o, ray_d)
     bk = pool_cast_backend(cfg)
+    cfg = _pool_slab_cfg(cfg)
     if not _slab_enabled(scene, cfg, bk):
         return intersect_closest(
             scene, ray_o, ray_d, cfg.stack_size,
@@ -359,6 +362,7 @@ def _pool_any(scene, cfg, active, shadow_o, shadow_d, distance,
     # recast loop runs a closest cast with no t_max cap
     o_s, d_s = _park(active, shadow_o, shadow_d)
     bk = pool_cast_backend(cfg)
+    cfg = _pool_slab_cfg(cfg)
     if not _slab_enabled(scene, cfg, bk):
         return intersect_any(
             scene, o_s, d_s, dist, cfg.stack_size,
