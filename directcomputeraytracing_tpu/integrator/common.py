@@ -68,14 +68,18 @@ class RenderConfig:
                                         # expanded sweep ("pallas_pair")
                                         # wins over the bundle sweep
     pool_slab_march: float = -1.0       # slab marching for the POOL
-                                        # casts only (-1 = inherit
-                                        # slab_march; 0 = off; >0 =
-                                        # phase-1 window fraction).
-                                        # Separate from slab_march so
-                                        # the incoherent pool can march
-                                        # windows while the megakernel's
-                                        # coherent camera casts (where
-                                        # slabs measured 9x slower,
+                                        # casts only (-1 = auto: the
+                                        # measured default
+                                        # POOL_SLAB_DEFAULT when the
+                                        # global slab_march is off,
+                                        # else inherit it; 0 = off;
+                                        # >0 = phase-1 window
+                                        # fraction). Separate from
+                                        # slab_march so the incoherent
+                                        # pool can march windows while
+                                        # the megakernel's coherent
+                                        # camera casts (where slabs
+                                        # measured 9x slower,
                                         # docs/PERF.md) stay single-
                                         # window
     pool_slab_phases: int = 2
@@ -115,16 +119,32 @@ def slab_enabled(scene, cfg, backend=None):
     return resolved.startswith(("pallas_wl", "pallas_pair"))
 
 
+# Mid-drain pool closest casts overflow the grouped sweep's per-block
+# item capacity (p90=326 vs GROUP_CAPM=192 on the warmed 1080p stand-in
+# pool) and ride the dense fallback at ~2.9 s/cast; marching two
+# geometric distance windows with a 3%-of-diagonal phase-1 cap bounds
+# the per-phase worklists and measured 710 ms for the same cast
+# (4.1x; 0.05 -> 742 ms, 0.10 -> 747 ms; experiments/prof_fits.py).
+POOL_SLAB_DEFAULT = 0.03
+
+
 def pool_slab_cfg(cfg):
     """The POOL casts' effective slab config: cfg view whose slab_march
-    is the pool-specific value (pool_slab_march; -1 inherits
-    slab_march). Lets the wavefront pool march windows while the same
-    RenderConfig's coherent megakernel casts stay single-window."""
+    is the pool-specific value (pool_slab_march; -1 = auto: inherit an
+    explicitly-set global slab_march, else POOL_SLAB_DEFAULT). Lets the
+    wavefront pool march windows while the same RenderConfig's coherent
+    megakernel casts stay single-window. slab_enabled() still gates the
+    result on the work-list kernel family, so non-worklist pool
+    backends are unaffected."""
     if cfg.pool_slab_march < 0.0:
-        return cfg
+        if cfg.slab_march > 0.0:
+            return cfg
+        march, phases = POOL_SLAB_DEFAULT, cfg.pool_slab_phases
+    else:
+        march, phases = cfg.pool_slab_march, cfg.pool_slab_phases
     return cfg.__class__(**{**cfg.__dict__,
-                            "slab_march": cfg.pool_slab_march,
-                            "slab_phases": cfg.pool_slab_phases})
+                            "slab_march": march,
+                            "slab_phases": phases})
 
 
 def slab_depth(scene, cfg):
