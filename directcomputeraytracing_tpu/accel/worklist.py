@@ -1251,6 +1251,19 @@ def _wl_closest_inst_kernel(wt, gg, bf_ref, su_ref, sl_ref, it_ref,
 
         def body(c):
             r, _ = c
+            if _REKEY:
+                # one-shot re-key after the first pair, as in
+                # _wl_closest_kernel: drop remaining clusters no
+                # surviving ray still enters under the tightened best-t
+                @pl.when(r == PAIR)
+                def _():
+                    ent2, tl2 = _fine_enter(cbox_ref, od_ref,
+                                            out_ref[0:1, :],
+                                            floor=t_min)
+                    keys2, _n2 = _cluster_keys(ent2, tl2, iota)
+                    cur = mask_scr[:, :]
+                    mask_scr[:, :] = jnp.where(cur == _INF_KEY,
+                                               _INF_KEY, keys2)
             cs_, vs_, k_1 = _pick_clusters(mask_scr, iota)
             # in-item early break (see _wl_closest_kernel): the cull is
             # in WORLD space and the Moeller t stays the world ray
